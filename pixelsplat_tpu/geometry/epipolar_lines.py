@@ -1,0 +1,256 @@
+"""Epipolar line projection in pure JAX.
+
+Computes, for a bundle of world-space rays and a second camera, the visible
+segment of each ray's projection into the second camera's image plane.
+
+This mirrors the semantics of /root/reference/src/geometry/epipolar_lines.py
+but is fully vectorized: the reference's boolean-mask case analysis
+(epipolar_lines.py:239-249) becomes `jnp.where` chains so everything is
+jit/vmap-compatible with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .projection import (
+    get_world_rays,
+    homogenize_points,
+    homogenize_vectors,
+    intersect_rays,
+    inverse_se3,
+    project_camera_space,
+)
+
+
+class PointProjection(NamedTuple):
+    t: jax.Array  # ray parameter, xyz = origin + t * direction
+    xy: jax.Array  # image-space xy (normalized 0..1)
+    valid: jax.Array  # in front of camera AND inside the frame AND t >= 0
+
+
+class RaySegmentProjection(NamedTuple):
+    t_min: jax.Array
+    t_max: jax.Array
+    xy_min: jax.Array
+    xy_max: jax.Array
+    # Whether the segment overlaps the image at all. If not, the other
+    # fields are meaningless.
+    overlaps_image: jax.Array
+
+
+def _is_in_bounds(xy: jax.Array, epsilon: float = 1e-6) -> jax.Array:
+    return jnp.all((xy >= -epsilon) & (xy <= 1 + epsilon), axis=-1)
+
+
+def _is_in_front_of_camera(xyz: jax.Array, epsilon: float = 1e-6) -> jax.Array:
+    return xyz[..., -1] > -epsilon
+
+
+def _is_positive_t(t: jax.Array, epsilon: float = 1e-6) -> jax.Array:
+    return t > -epsilon
+
+
+def _intersect_image_coordinate(
+    intrinsics: jax.Array,
+    origins: jax.Array,
+    directions: jax.Array,
+    dimension: str,
+    coordinate_value: float,
+) -> PointProjection:
+    """Intersect a camera-space ray's projection with one image border line.
+
+    `dimension` selects x (vertical borders) or y (horizontal borders);
+    `coordinate_value` is 0.0 or 1.0 (the normalized border position).
+    Division by zero yields inf/nan, which the validity masks reject —
+    same contract as the reference (epipolar_lines.py:55-104).
+    """
+    dim = "xy".index(dimension)
+    other_dim = 1 - dim
+    fs = intrinsics[..., dim, dim]
+    fo = intrinsics[..., other_dim, other_dim]
+    cs = intrinsics[..., dim, 2]
+    co = intrinsics[..., other_dim, 2]
+    os_ = origins[..., dim]
+    oo = origins[..., other_dim]
+    ds = directions[..., dim]
+    do = directions[..., other_dim]
+    oz = origins[..., 2]
+    dz = directions[..., 2]
+    c = (coordinate_value - cs) / fs
+
+    t = (c * oz - os_) / (ds - c * dz)
+
+    coordinate_other = co + (fo * (oo * (c * dz - ds) + do * (os_ - c * oz))) / (
+        dz * os_ - ds * oz
+    )
+    coordinate_same = jnp.full_like(coordinate_other, coordinate_value)
+    if other_dim == 0:
+        xy = jnp.stack([coordinate_other, coordinate_same], axis=-1)
+    else:
+        xy = jnp.stack([coordinate_same, coordinate_other], axis=-1)
+    xyz = origins + t[..., None] * directions
+
+    valid = _is_in_bounds(xy) & _is_in_front_of_camera(xyz) & _is_positive_t(t)
+    # NaNs make comparisons False already, but be explicit for t itself.
+    valid = valid & jnp.isfinite(t)
+    return PointProjection(t=t, xy=xy, valid=valid)
+
+
+def _compare_projections(
+    intersections: list[PointProjection],
+    reduction: str,
+) -> PointProjection:
+    """Pick, per ray, the min/max-t valid border intersection."""
+    t = jnp.stack([i.t for i in intersections], axis=0)
+    xy = jnp.stack([i.xy for i in intersections], axis=0)
+    valid = jnp.stack([i.valid for i in intersections], axis=0)
+
+    lowest_priority = {"min": jnp.inf, "max": -jnp.inf}[reduction]
+    t = jnp.where(valid, t, lowest_priority)
+    t = jnp.nan_to_num(t, nan=lowest_priority, posinf=jnp.inf, neginf=-jnp.inf)
+
+    if reduction == "min":
+        selector = jnp.argmin(t, axis=0)
+        reduced = jnp.min(t, axis=0)
+    else:
+        selector = jnp.argmax(t, axis=0)
+        reduced = jnp.max(t, axis=0)
+
+    xy_sel = jnp.take_along_axis(xy, selector[None, ..., None], axis=0)[0]
+    valid_sel = jnp.take_along_axis(valid, selector[None], axis=0)[0]
+    return PointProjection(t=reduced, xy=xy_sel, valid=valid_sel)
+
+
+def _compute_point_projection(
+    xyz: jax.Array,
+    t: jax.Array,
+    intrinsics: jax.Array,
+) -> PointProjection:
+    xy = project_camera_space(xyz, intrinsics)
+    valid = _is_in_bounds(xy) & _is_in_front_of_camera(xyz) & _is_positive_t(t)
+    return PointProjection(t=t, xy=xy, valid=valid)
+
+
+def project_rays(
+    origins: jax.Array,
+    directions: jax.Array,
+    extrinsics: jax.Array,
+    intrinsics: jax.Array,
+    near: Optional[jax.Array] = None,
+    far: Optional[jax.Array] = None,
+    epsilon: float = 1e-6,
+) -> RaySegmentProjection:
+    """Project world-space rays into another camera, returning the visible
+    segment [xy_min, xy_max] of each epipolar line.
+
+    Semantics follow /root/reference/src/geometry/epipolar_lines.py:157-251.
+    All inputs broadcast against one another over leading batch dims.
+    """
+    world_to_cam = inverse_se3(extrinsics)
+    origins_cam = jnp.einsum(
+        "...ij,...j->...i", world_to_cam, homogenize_points(origins)
+    )[..., :3]
+    directions_cam = jnp.einsum(
+        "...ij,...j->...i", world_to_cam, homogenize_vectors(directions)
+    )[..., :3]
+
+    # Broadcast to a common batch shape so stacking works.
+    batch_shape = jnp.broadcast_shapes(
+        origins_cam.shape[:-1], directions_cam.shape[:-1], intrinsics.shape[:-2]
+    )
+    origins_cam = jnp.broadcast_to(origins_cam, (*batch_shape, 3))
+    directions_cam = jnp.broadcast_to(directions_cam, (*batch_shape, 3))
+    intrinsics_b = jnp.broadcast_to(intrinsics, (*batch_shape, 3, 3))
+
+    frame_intersections = [
+        _intersect_image_coordinate(intrinsics_b, origins_cam, directions_cam, "x", 0.0),
+        _intersect_image_coordinate(intrinsics_b, origins_cam, directions_cam, "x", 1.0),
+        _intersect_image_coordinate(intrinsics_b, origins_cam, directions_cam, "y", 0.0),
+        _intersect_image_coordinate(intrinsics_b, origins_cam, directions_cam, "y", 1.0),
+    ]
+    frame_min = _compare_projections(frame_intersections, "min")
+    frame_max = _compare_projections(frame_intersections, "max")
+
+    if near is None:
+        # Project the ray at t=0 (the origin). If the origin sits at the
+        # camera itself, use the direction instead; if it merely lies on the
+        # zero-depth plane, mark invalid.
+        mask_depth_zero = origins_cam[..., -1] < epsilon
+        mask_at_camera = jnp.linalg.norm(origins_cam, axis=-1) < epsilon
+        origins_for_projection = jnp.where(
+            mask_at_camera[..., None], directions_cam, origins_cam
+        )
+        projection_at_zero = _compute_point_projection(
+            origins_for_projection,
+            jnp.zeros(batch_shape, origins_cam.dtype),
+            intrinsics_b,
+        )
+        valid0 = projection_at_zero.valid & ~(mask_depth_zero & ~mask_at_camera)
+        projection_at_zero = projection_at_zero._replace(valid=valid0)
+    else:
+        t_near = jnp.broadcast_to(near, batch_shape).astype(origins_cam.dtype)
+        projection_at_zero = _compute_point_projection(
+            origins_cam + t_near[..., None] * directions_cam,
+            t_near,
+            intrinsics_b,
+        )
+
+    if far is None:
+        # Projecting the direction vector is equivalent to projecting the
+        # point at infinity along the ray.
+        projection_at_infinity = _compute_point_projection(
+            directions_cam,
+            jnp.full(batch_shape, jnp.inf, origins_cam.dtype),
+            intrinsics_b,
+        )
+    else:
+        t_far = jnp.broadcast_to(far, batch_shape).astype(origins_cam.dtype)
+        projection_at_infinity = _compute_point_projection(
+            origins_cam + t_far[..., None] * directions_cam,
+            t_far,
+            intrinsics_b,
+        )
+
+    # Case analysis: use the endpoint projection when it's valid (inside the
+    # frame), otherwise fall back to the frame-border intersection.
+    p0, pinf = projection_at_zero, projection_at_infinity
+    t_min = jnp.where(p0.valid, p0.t, frame_min.t)
+    xy_min = jnp.where(p0.valid[..., None], p0.xy, frame_min.xy)
+    t_max = jnp.where(pinf.valid, pinf.t, frame_max.t)
+    xy_max = jnp.where(pinf.valid[..., None], pinf.xy, frame_max.xy)
+    overlaps = (p0.valid | frame_min.valid) & (pinf.valid | frame_max.valid)
+
+    return RaySegmentProjection(
+        t_min=t_min, t_max=t_max, xy_min=xy_min, xy_max=xy_max, overlaps_image=overlaps
+    )
+
+
+def lift_to_3d(
+    origins: jax.Array,
+    directions: jax.Array,
+    xy: jax.Array,
+    extrinsics: jax.Array,
+    intrinsics: jax.Array,
+) -> jax.Array:
+    """3D positions corresponding to 2D points on epipolar lines.
+
+    The extrinsics/intrinsics belong to the camera the 2D points lie on.
+    """
+    xy_origins, xy_directions = get_world_rays(xy, extrinsics, intrinsics)
+    return intersect_rays(origins, directions, xy_origins, xy_directions)
+
+
+def get_depth(
+    origins: jax.Array,
+    directions: jax.Array,
+    xy: jax.Array,
+    extrinsics: jax.Array,
+    intrinsics: jax.Array,
+) -> jax.Array:
+    """Depths (distance along the primary ray) for epipolar-line samples."""
+    xyz = lift_to_3d(origins, directions, xy, extrinsics, intrinsics)
+    return jnp.linalg.norm(xyz - origins, axis=-1)
