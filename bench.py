@@ -1,0 +1,101 @@
+"""Headline benchmark: 256x256 rendered frames/sec/chip on the TPU.
+
+Workload matches the reference's evaluation setting (BASELINE.md): render
+256x256 novel views from 393,216 Gaussians (2 context views x 256x256
+pixels x 3 gaussians/pixel, degree-4 SH), i.e. the decoder/rasterizer path
+that the CUDA `diff-gaussian-rasterization` extension implements in the
+reference. The A100 baseline for this workload (tile-based CUDA rasterizer
+at ~400k gaussians, 256x256) is ~250 frames/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_FPS = 250.0
+
+
+def main() -> None:
+    from pixelsplat_tpu.ops.rasterizer import RenderSettings, render
+
+    g = 2 * 256 * 256 * 3
+    rng = np.random.default_rng(0)
+    means = np.stack(
+        [
+            rng.uniform(-2, 2, g),
+            rng.uniform(-2, 2, g),
+            rng.uniform(1.2, 12, g),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    axes = rng.normal(size=(g, 3, 3)).astype(np.float32) * 0.01
+    covs = axes @ axes.transpose(0, 2, 1) + 1e-6 * np.eye(3, dtype=np.float32)
+    sh = (rng.normal(size=(g, 3, 25)) * 0.1).astype(np.float32)
+    opac = rng.uniform(0.05, 0.6, g).astype(np.float32)
+
+    intr = jnp.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])
+    settings = RenderSettings(capacity=4096, big_capacity=128, chunk=128)
+    args = (
+        jnp.eye(4)[None],
+        intr[None],
+        jnp.ones(1),
+        jnp.full((1,), 100.0),
+        jnp.zeros((1, 3)),
+        jnp.asarray(means)[None],
+        jnp.asarray(covs)[None],
+        jnp.asarray(sh)[None],
+        jnp.asarray(opac)[None],
+    )
+
+    n = 20
+
+    @jax.jit
+    def many(e, k, nr, f, bg, m, c, s, o):
+        def body(i, acc):
+            img = render(
+                e, k, nr, f + i * 0.0, (256, 256), bg, m, c, s, o, settings=settings
+            )
+            return acc + img[0, 0, 0, 0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    # Warm up / compile, then time with a single host sync (the axon tunnel
+    # makes block_until_ready a no-op; np.asarray is the only real sync).
+    np.asarray(many(*args))
+    t0 = time.perf_counter()
+    np.asarray(many(*args))
+    dt = time.perf_counter() - t0
+
+    # Subtract the host-transfer floor measured with a trivial program.
+    @jax.jit
+    def floor_fn(x):
+        return x[0, 0, 0, 0]
+
+    np.asarray(floor_fn(args[5]))
+    t0 = time.perf_counter()
+    np.asarray(floor_fn(args[5]))
+    floor = time.perf_counter() - t0
+
+    per_frame = max(dt - floor, 1e-9) / n
+    fps = 1.0 / per_frame
+    print(
+        json.dumps(
+            {
+                "metric": "render_256x256_393k_gaussians",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""LPIPS perceptual loss, gated off before `apply_after_step`.
+
+Mirrors /root/reference/src/loss/loss_lpips.py. The gate uses a smooth
+jnp.where on the traced global step so the train step stays a single
+compiled program (the reference branches in Python per step instead).
+LPIPS network weights are frozen constants, never part of the gradient.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..evaluation.lpips import LPIPS, get_lpips_params
+
+
+@dataclass(frozen=True)
+class LossLpipsCfg:
+    name: str = "lpips"
+    weight: float = 0.05
+    apply_after_step: int = 150_000
+
+
+class LossLpips:
+    name = "lpips"
+
+    def __init__(self, cfg: LossLpipsCfg):
+        self.cfg = cfg
+        self.params, self.pretrained = get_lpips_params()
+
+    def __call__(self, prediction, batch, gaussians, global_step) -> jax.Array:
+        image = batch["target"]["image"]  # (b, v, 3, h, w)
+        b, v, c, h, w = image.shape
+        pred = prediction.color.reshape(b * v, c, h, w)
+        target = image.reshape(b * v, c, h, w)
+        loss = LPIPS().apply(
+            jax.lax.stop_gradient(self.params), pred, target
+        ).mean()
+        active = (global_step >= self.cfg.apply_after_step).astype(loss.dtype)
+        return self.cfg.weight * active * loss

@@ -1,0 +1,116 @@
+"""Decoder: render Gaussians into target views via the TPU rasterizer.
+
+Mirrors /root/reference/src/model/decoder/decoder_splatting_cuda.py, with
+one TPU-minded difference: instead of materially repeating the Gaussian set
+per target view (b v g ...) — gigabytes at production scale — the view axis
+is a vmap with `in_axes=None` over the shared Gaussian arrays, so XLA reads
+one copy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Literal, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.rasterizer import RenderSettings, render, render_depth
+from ...ops.rasterizer.render import DepthRenderingMode
+from ..types import Gaussians
+
+
+class DecoderOutput(NamedTuple):
+    color: jax.Array  # (b, v, 3, h, w)
+    depth: Optional[jax.Array] = None  # (b, v, h, w)
+
+
+@dataclass(frozen=True)
+class DecoderSplattingCfg:
+    name: Literal["splatting"] = "splatting"
+    background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    render: RenderSettings = RenderSettings()
+
+
+class DecoderSplatting:
+    """Stateless decoder (no learnable parameters)."""
+
+    def __init__(self, cfg: DecoderSplattingCfg):
+        self.cfg = cfg
+        self.background_color = jnp.asarray(cfg.background_color, jnp.float32)
+
+    def __call__(
+        self,
+        gaussians: Gaussians,
+        extrinsics: jax.Array,  # (b, v, 4, 4)
+        intrinsics: jax.Array,  # (b, v, 3, 3)
+        near: jax.Array,  # (b, v)
+        far: jax.Array,  # (b, v)
+        image_shape: tuple[int, int],
+        depth_mode: Optional[DepthRenderingMode] = None,
+    ) -> DecoderOutput:
+        def render_one_view(e, k, n, f, means, covs, sh, op):
+            color = render(
+                e[None],
+                k[None],
+                n[None],
+                f[None],
+                image_shape,
+                self.background_color[None],
+                means[None],
+                covs[None],
+                sh[None],
+                op[None],
+                settings=self.cfg.render,
+            )[0]
+            return color
+
+        # vmap over target views with the Gaussians broadcast (not copied),
+        # then over the batch with the Gaussians mapped.
+        over_views = jax.vmap(
+            render_one_view, in_axes=(0, 0, 0, 0, None, None, None, None)
+        )
+        over_batch = jax.vmap(over_views, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+        color = over_batch(
+            extrinsics,
+            intrinsics,
+            near,
+            far,
+            gaussians.means,
+            gaussians.covariances,
+            gaussians.harmonics,
+            gaussians.opacities,
+        )
+
+        depth = None
+        if depth_mode is not None:
+            def depth_one_view(e, k, n, f, means, covs, op):
+                return render_depth(
+                    e[None],
+                    k[None],
+                    n[None],
+                    f[None],
+                    image_shape,
+                    means[None],
+                    covs[None],
+                    op[None],
+                    mode=depth_mode,
+                    settings=self.cfg.render,
+                )[0]
+
+            over_views_d = jax.vmap(
+                depth_one_view, in_axes=(0, 0, 0, 0, None, None, None)
+            )
+            over_batch_d = jax.vmap(over_views_d, in_axes=(0, 0, 0, 0, 0, 0, 0))
+            depth = over_batch_d(
+                extrinsics,
+                intrinsics,
+                near,
+                far,
+                gaussians.means,
+                gaussians.covariances,
+                gaussians.opacities,
+            )
+
+        return DecoderOutput(color=color, depth=depth)

@@ -1,0 +1,155 @@
+"""DINO ViT backbone in Flax.
+
+Mirrors /root/reference/src/model/encoder/backbone/backbone_dino.py: a
+DINO-style ViT (default ViT-B/8) produces a global CLS token and local
+patch tokens; both go through small MLPs to d_out, are broadcast to the
+pixel grid, and are summed with a ResNet-50 branch. The architecture
+matches facebookresearch/dino's ViT so published weights can be imported
+(timm/DINO layout: qkv bias, pre-norm blocks, final LayerNorm applied to
+intermediate outputs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .resnet import BackboneResnet, BackboneResnetCfg
+
+VIT_SPECS: dict[str, dict] = {
+    "dino_vits16": dict(patch=16, dim=384, depth=12, heads=6),
+    "dino_vits8": dict(patch=8, dim=384, depth=12, heads=6),
+    "dino_vitb16": dict(patch=16, dim=768, depth=12, heads=12),
+    "dino_vitb8": dict(patch=8, dim=768, depth=12, heads=12),
+}
+
+
+@dataclass(frozen=True)
+class BackboneDinoCfg:
+    name: Literal["dino"] = "dino"
+    model: str = "dino_vitb8"
+    d_out: int = 512
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads,
+            qkv_features=self.dim,
+            name="attn",
+        )(y, y)
+        x = x + y
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="mlp_fc2")(y)
+        return x + y
+
+
+class DinoViT(nn.Module):
+    """DINO vision transformer trunk; returns normalized (cls, patch) tokens."""
+
+    patch: int
+    dim: int
+    depth: int
+    heads: int
+    # Positional-embedding grid the checkpoint was trained with (224/patch).
+    pos_grid: int = 28
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: (n, 3, h, w) -> (n, 1 + h/p * w/p, dim) tokens."""
+        n, _, h, w = images.shape
+        x = images.transpose(0, 2, 3, 1)
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(self.patch, self.patch),
+            strides=(self.patch, self.patch),
+            padding="VALID",
+            name="patch_embed",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(n, gh * gw, self.dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.dim)
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, 1 + self.pos_grid * self.pos_grid, self.dim),
+        )
+        cls_pos, patch_pos = pos_embed[:, :1], pos_embed[:, 1:]
+        if (gh, gw) != (self.pos_grid, self.pos_grid):
+            grid = patch_pos.reshape(1, self.pos_grid, self.pos_grid, self.dim)
+            grid = jax.image.resize(grid, (1, gh, gw, self.dim), "bicubic")
+            patch_pos = grid.reshape(1, gh * gw, self.dim)
+
+        x = x + patch_pos
+        cls = jnp.broadcast_to(cls_token + cls_pos, (n, 1, self.dim))
+        x = jnp.concatenate([cls, x], axis=1)
+
+        for i in range(self.depth):
+            x = ViTBlock(self.dim, self.heads, name=f"block{i}")(x)
+        return nn.LayerNorm(name="norm")(x)
+
+
+class BackboneDino(nn.Module):
+    cfg: BackboneDinoCfg
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: (b, v, 3, h, w) -> (b, v, d_out, h, w)."""
+        cfg = self.cfg
+        spec = VIT_SPECS[cfg.model]
+        patch = spec["patch"]
+        b, v, _, h, w = images.shape
+        assert h % patch == 0 and w % patch == 0
+
+        resnet_features = BackboneResnet(
+            BackboneResnetCfg("resnet", "dino_resnet50", 4, False, cfg.d_out),
+            name="resnet_backbone",
+        )(images)
+
+        tokens = DinoViT(
+            patch=patch,
+            dim=spec["dim"],
+            depth=spec["depth"],
+            heads=spec["heads"],
+            name="dino",
+        )(images.reshape(b * v, 3, h, w))
+
+        def token_mlp(t, name):
+            t = nn.Dense(spec["dim"], name=f"{name}_fc1")(t)
+            t = nn.relu(t)
+            return nn.Dense(cfg.d_out, name=f"{name}_fc2")(t)
+
+        global_token = token_mlp(tokens[:, 0], "global_token")  # (bv, d_out)
+        local_tokens = token_mlp(tokens[:, 1:], "local_token")  # (bv, n, d_out)
+
+        global_token = global_token.reshape(b, v, 1, 1, cfg.d_out)
+        gh, gw = h // patch, w // patch
+        local_tokens = local_tokens.reshape(b, v, gh, gw, cfg.d_out)
+        # Nearest-repeat each patch token over its patch footprint.
+        local_tokens = jnp.repeat(jnp.repeat(local_tokens, patch, axis=2), patch, axis=3)
+
+        fused = (
+            resnet_features
+            + local_tokens.transpose(0, 1, 4, 2, 3)
+            + global_token.transpose(0, 1, 4, 2, 3)
+        )
+        return fused
+
+    @property
+    def d_out(self) -> int:
+        return self.cfg.d_out

@@ -1,0 +1,165 @@
+"""ResNet backbone in Flax with multi-scale feature fusion.
+
+Mirrors /root/reference/src/model/encoder/backbone/backbone_resnet.py:
+a torchvision-style ResNet where every norm is a parameter-free
+InstanceNorm (affine=False, no running stats), per-stage 1x1 projections
+to d_out, bilinear upsample of every stage to full resolution, and a sum.
+
+Note the reference's maxpool quirk: `use_first_pool` is only consulted for
+index 0 inside a loop that starts at 1, so the pool is never applied; we
+honor the flag faithfully (configs ship with use_first_pool: false), and
+when false the spatial strides match the reference exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+RESNET_SPECS: dict[str, tuple[str, tuple[int, ...]]] = {
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet152": ("bottleneck", (3, 8, 36, 3)),
+    "dino_resnet50": ("bottleneck", (3, 4, 6, 3)),
+}
+
+
+@dataclass(frozen=True)
+class BackboneResnetCfg:
+    name: Literal["resnet"] = "resnet"
+    model: str = "resnet50"
+    num_layers: int = 5
+    use_first_pool: bool = False
+    d_out: int = 512
+
+
+def _instance_norm(x: jax.Array, name: str) -> jax.Array:
+    # InstanceNorm2d(affine=False, track_running_stats=False): per-sample,
+    # per-channel spatial normalization with no learned parameters.
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
+
+class BasicBlock(nn.Module):
+    channels: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        y = nn.Conv(
+            self.channels, (3, 3), strides=self.stride, use_bias=False, name="conv1"
+        )(x)
+        y = _instance_norm(y, "in1")
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), use_bias=False, name="conv2")(y)
+        y = _instance_norm(y, "in2")
+        if self.stride != 1 or x.shape[-1] != self.channels:
+            residual = nn.Conv(
+                self.channels,
+                (1, 1),
+                strides=self.stride,
+                use_bias=False,
+                name="downsample",
+            )(x)
+            residual = _instance_norm(residual, "in_ds")
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    channels: int  # internal width; output is channels * 4
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_ch = self.channels * 4
+        residual = x
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.relu(_instance_norm(y, "in1"))
+        y = nn.Conv(
+            self.channels, (3, 3), strides=self.stride, use_bias=False, name="conv2"
+        )(y)
+        y = nn.relu(_instance_norm(y, "in2"))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = _instance_norm(y, "in3")
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = nn.Conv(
+                out_ch, (1, 1), strides=self.stride, use_bias=False, name="downsample"
+            )(x)
+            residual = _instance_norm(residual, "in_ds")
+        return nn.relu(y + residual)
+
+
+def _bilinear_resize(x: jax.Array, shape: tuple[int, int]) -> jax.Array:
+    """align_corners=True bilinear resize (matches the reference's
+    F.interpolate(..., align_corners=True))."""
+    b, h, w, c = x.shape
+    h_out, w_out = shape
+    if (h, w) == (h_out, w_out):
+        return x
+
+    def axis_coords(n_in, n_out):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+
+    ys = axis_coords(h, h_out)
+    xs = axis_coords(w, w_out)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class BackboneResnet(nn.Module):
+    cfg: BackboneResnetCfg
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: (b, v, 3, h, w) -> (b, v, d_out, h, w)."""
+        cfg = self.cfg
+        block_kind, stage_sizes = RESNET_SPECS[cfg.model]
+        block = BasicBlock if block_kind == "basic" else Bottleneck
+        b, v, _, h, w = images.shape
+        x = images.reshape(b * v, 3, h, w).transpose(0, 2, 3, 1)  # NHWC
+
+        x = nn.Conv(64, (7, 7), strides=2, use_bias=False, name="conv1")(x)
+        x = nn.relu(_instance_norm(x, "in1"))
+        features = [nn.Conv(cfg.d_out, (1, 1), name="projection0")(x)]
+
+        widths = (64, 128, 256, 512)
+        for stage in range(1, cfg.num_layers):
+            if stage == 1:
+                if cfg.use_first_pool:
+                    x = nn.max_pool(
+                        x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+                    )
+                stride = 1
+            else:
+                stride = 2
+            for i in range(stage_sizes[stage - 1]):
+                x = block(
+                    widths[stage - 1],
+                    stride=stride if i == 0 else 1,
+                    name=f"layer{stage}_block{i}",
+                )(x)
+            features.append(nn.Conv(cfg.d_out, (1, 1), name=f"projection{stage}")(x))
+
+        fused = sum(_bilinear_resize(f, (h, w)) for f in features)
+        return fused.transpose(0, 3, 1, 2).reshape(b, v, cfg.d_out, h, w)
+
+    @property
+    def d_out(self) -> int:
+        return self.cfg.d_out

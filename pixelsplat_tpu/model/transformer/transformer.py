@@ -1,0 +1,111 @@
+"""Generic pre-norm transformer stack in Flax linen.
+
+Functional counterpart of the reference's vendored srt transformer
+(/root/reference/src/model/transformer/*.py): LayerNorm pre-norm residual
+blocks of multi-head attention (self or cross via a separate kv input) and
+a pluggable feed-forward module. Attention matmuls run in bf16-friendly
+einsums with f32 accumulation (MXU path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Attention(nn.Module):
+    """Multi-head attention; self-attention if kv is None else cross."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    selfatt: bool = True
+    kv_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, z: Optional[jax.Array] = None) -> jax.Array:
+        inner = self.dim_head * self.heads
+        if z is None:
+            qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+            kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(z)
+            k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        scale = self.dim_head**-0.5
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        b, _, n, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+
+        project_out = not (self.heads == 1 and self.dim_head == self.dim)
+        if project_out:
+            out = nn.Dense(self.dim, name="to_out")(out)
+        return out
+
+
+class FeedForward(nn.Module):
+    dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, **_: Any) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class Transformer(nn.Module):
+    """depth x (prenorm attention + prenorm feed-forward), both residual.
+
+    `feed_forward_factory(dim, mlp_dim) -> nn.Module`; the FF module's
+    __call__ receives **ff_kwargs (used by the image-self-attention FF to
+    learn spatial structure).
+    """
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    selfatt: bool = True
+    kv_dim: Optional[int] = None
+    feed_forward_factory: Optional[Callable[..., nn.Module]] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        z: Optional[jax.Array] = None,
+        **ff_kwargs: Any,
+    ) -> jax.Array:
+        for i in range(self.depth):
+            attn_in = nn.LayerNorm(name=f"attn_norm_{i}")(x)
+            x = (
+                Attention(
+                    self.dim,
+                    heads=self.heads,
+                    dim_head=self.dim_head,
+                    selfatt=self.selfatt,
+                    kv_dim=self.kv_dim,
+                    name=f"attn_{i}",
+                )(attn_in, z=z)
+                + x
+            )
+            ff_in = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+            if self.feed_forward_factory is None:
+                ff = FeedForward(self.dim, self.mlp_dim, name=f"ff_{i}")
+            else:
+                ff = self.feed_forward_factory(self.dim, self.mlp_dim, name=f"ff_{i}")
+            x = ff(ff_in, **ff_kwargs) + x
+        return x

@@ -1,0 +1,132 @@
+"""Tile binning for the splatting rasterizer: static-shaped, sort-based.
+
+The CUDA reference duplicates each Gaussian per overlapped 16x16 tile into a
+dynamically-sized buffer and radix-sorts (tile, depth) keys. On TPU we need
+static shapes, so the design is:
+
+1. argsort Gaussians by depth once (invalid ones pushed to the end);
+2. emit up to `span`^2 (gaussian, tile) candidate pairs per Gaussian as
+   packed integer keys `tile_id * G + depth_rank` (invalid slots get a
+   sentinel that sorts to the end);
+3. one stable single-key sort puts pairs in (tile-major, depth) order —
+   depth rank rides in the low bits, so no payload array is needed;
+4. per-tile segments are recovered with searchsorted, and fixed-capacity
+   per-tile lists are gathered (overflow drops the *farthest* Gaussians).
+
+Gaussians spanning more than `span`x`span` tiles ("big" ones — rare, close
+to the camera) don't fit the pair budget; they are collected into a global
+list of capacity `big_capacity` that is merged into every tile's list with
+a per-tile re-sort by depth rank, preserving correct compositing order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+
+
+class TileLists(NamedTuple):
+    # Indices into the depth-sorted Gaussian arrays; (num_tiles, capacity).
+    indices: jax.Array
+    valid: jax.Array  # (num_tiles, capacity) bool
+    order: jax.Array  # (g,) depth-sort permutation of the input Gaussians
+    # Number of (gaussian, tile) pairs dropped due to capacity overflow —
+    # diagnostics for choosing `capacity`.
+    overflow: jax.Array
+
+
+def bin_gaussians(
+    projected: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    tile_size: int = 16,
+    capacity: int = 2048,
+    span: int = 3,
+    big_capacity: int = 128,
+) -> TileLists:
+    h, w = image_shape
+    tiles_x = -(-w // tile_size)
+    tiles_y = -(-h // tile_size)
+    num_tiles = tiles_x * tiles_y
+    g = projected.depth.shape[0]
+    big_capacity = min(big_capacity, g)
+    capacity = min(capacity, g * span * span)
+
+    # 1. Depth sort (invalid to the end).
+    sort_key = jnp.where(projected.valid, projected.depth, jnp.inf)
+    order = jnp.argsort(sort_key)
+    mean2d = projected.mean2d[order]
+    radius = projected.radius[order]
+    valid = projected.valid[order]
+
+    # 2. Tile bbox per (sorted) Gaussian.
+    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_size), 0, tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_size), 0, tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_size), 0, tiles_y - 1)
+    x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
+    span_x = x1 - x0 + 1
+    span_y = y1 - y0 + 1
+    small = valid & (span_x <= span) & (span_y <= span)
+    big = valid & ~small
+
+    # 3. Emit packed pair keys for small Gaussians.
+    key_dtype = jnp.int32 if (num_tiles + 1) * g < 2**31 else jnp.int64
+    rank = jnp.arange(g, dtype=key_dtype)
+    sentinel = jnp.asarray(num_tiles, key_dtype) * g  # sorts after all real keys
+    keys = []
+    for slot in range(span * span):
+        dx, dy = slot % span, slot // span
+        tx = x0 + dx
+        ty = y0 + dy
+        slot_ok = small & (dx < span_x) & (dy < span_y)
+        tile_id = (ty * tiles_x + tx).astype(key_dtype)
+        keys.append(jnp.where(slot_ok, tile_id * g + rank, sentinel))
+    keys = jnp.sort(jnp.concatenate(keys))
+
+    # 4. Per-tile segments + fixed-capacity gather.
+    starts = jnp.searchsorted(keys, jnp.arange(num_tiles, dtype=key_dtype) * g)
+    ends = jnp.searchsorted(keys, (jnp.arange(num_tiles, dtype=key_dtype) + 1) * g)
+    counts = ends - starts
+    k_range = jnp.arange(capacity, dtype=key_dtype)
+    gather_pos = jnp.clip(starts[:, None] + k_range[None, :], 0, keys.shape[0] - 1)
+    tile_ranks = (keys[gather_pos] % g).astype(jnp.int32)
+    tile_valid = k_range[None, :] < jnp.minimum(counts, capacity)[:, None]
+    overflow = jnp.maximum(counts - capacity, 0).sum()
+
+    if big_capacity > 0:
+        # 5. Global "big Gaussian" list: the first big_capacity big ones in
+        # depth order, merged into every tile then re-sorted by depth rank.
+        big_key = jnp.where(big, rank, g)
+        neg_topk, _ = jax.lax.top_k(-big_key, big_capacity)
+        big_ranks = (-neg_topk).astype(jnp.int32)  # ascending depth rank
+        big_valid = big_ranks < g
+        big_overflow = jnp.maximum(big.sum() - big_capacity, 0)
+        overflow = overflow + big_overflow
+
+        merged_ranks = jnp.concatenate(
+            [tile_ranks, jnp.broadcast_to(big_ranks, (num_tiles, big_capacity))],
+            axis=1,
+        )
+        merged_valid = jnp.concatenate(
+            [tile_valid, jnp.broadcast_to(big_valid, (num_tiles, big_capacity))],
+            axis=1,
+        )
+        # Sort each tile's merged list by depth rank (invalid → end).
+        merge_keys = jnp.where(merged_valid, merged_ranks, g)
+        sorted_keys, sorted_ranks = jax.lax.sort(
+            (merge_keys, merged_ranks), dimension=1, num_keys=1
+        )
+        tile_ranks = sorted_ranks
+        tile_valid = sorted_keys < g
+
+    return TileLists(
+        indices=tile_ranks,
+        valid=tile_valid,
+        order=order,
+        overflow=overflow,
+    )

@@ -1,0 +1,186 @@
+"""Model wrapper: the train/val/test orchestration around encoder+decoder.
+
+Counterpart of /root/reference/src/model/model_wrapper.py (a
+LightningModule there). Here the train step is a pure jitted function over
+an explicit TrainState, sharded data-parallel over a 1-D mesh; validation
+and test are eval-jitted functions driven by Python loops in Trainer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..loss import Loss
+from ..model.decoder.decoder_splatting import DecoderSplatting
+from ..model.encoder.data_shim import get_data_shim
+from ..model.encoder.encoder_epipolar import EncoderEpipolar, EncoderEpipolarCfg
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .optimizer import OptimizerCfg, build_optimizer
+
+
+@dataclass(frozen=True)
+class TrainCfg:
+    depth_mode: Optional[str] = None
+    extended_visualization: bool = False
+
+
+@dataclass(frozen=True)
+class TestCfg:
+    output_path: Path = Path("outputs/test")
+
+
+@dataclass(frozen=True)
+class CheckpointingCfg:
+    load: Optional[str] = None
+    every_n_train_steps: int = 5000
+    save_top_k: int = -1
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class ModelWrapper:
+    def __init__(
+        self,
+        optimizer_cfg: OptimizerCfg,
+        train_cfg: TrainCfg,
+        test_cfg: TestCfg,
+        encoder_cfg: EncoderEpipolarCfg,
+        decoder: DecoderSplatting,
+        losses: list[Loss],
+        gradient_clip_val: float = 0.5,
+    ):
+        self.optimizer_cfg = optimizer_cfg
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg
+        self.encoder = EncoderEpipolar(encoder_cfg)
+        self.encoder_cfg = encoder_cfg
+        self.data_shim = get_data_shim(encoder_cfg)
+        self.decoder = decoder
+        self.losses = losses
+        self.optimizer = build_optimizer(optimizer_cfg, gradient_clip_val)
+
+    # ------------------------------------------------------------------
+    def init_state(self, example_batch: dict, seed: int = 0) -> TrainState:
+        batch = self.data_shim(_to_jax(example_batch))
+        rngs = {
+            "params": jax.random.PRNGKey(seed),
+            "sample": jax.random.PRNGKey(seed + 1),
+        }
+        params = jax.jit(
+            lambda r, c: self.encoder.init(r, c, jnp.asarray(0), True)
+        )(rngs, batch["context"])
+        opt_state = self.optimizer.init(params)
+        return TrainState(params=params, opt_state=opt_state, step=jnp.asarray(0))
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, batch, step, rng):
+        batch = self.data_shim(batch)
+        _, _, _, h, w = batch["target"]["image"].shape
+        gaussians = self.encoder.apply(
+            params, batch["context"], step, False, rngs={"sample": rng}
+        )
+        output = self.decoder(
+            gaussians,
+            batch["target"]["extrinsics"],
+            batch["target"]["intrinsics"],
+            batch["target"]["near"],
+            batch["target"]["far"],
+            (h, w),
+            depth_mode=self.train_cfg.depth_mode,
+        )
+        total = jnp.asarray(0.0)
+        parts = {}
+        for loss in self.losses:
+            value = loss(output, batch, gaussians, step)
+            parts[f"loss/{loss.name}"] = value
+            total = total + value
+        target = batch["target"]["image"]
+        mse = jnp.mean((output.color - target) ** 2)
+        parts["train/psnr_probabilistic"] = -10.0 * jnp.log10(mse)
+        parts["loss/total"] = total
+        return total, parts
+
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+        (loss, parts), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            state.params, batch, state.step, rng
+        )
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, parts
+
+    def make_jit_train_step(self, mesh=None):
+        """jit the train step with data-parallel shardings over the mesh."""
+        if mesh is None:
+            mesh = make_mesh()
+        state_sharding = replicated(mesh)
+        data_sharding = batch_sharding(mesh)
+
+        def shard_spec_for_batch(batch):
+            return jax.tree.map(
+                lambda _: data_sharding, batch, is_leaf=lambda x: not isinstance(x, dict)
+            )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state, batch, rng):
+            batch = jax.lax.with_sharding_constraint(
+                batch, shard_spec_for_batch(batch)
+            )
+            return self.train_step(state, batch, rng)
+
+        return step_fn, mesh
+
+    # ------------------------------------------------------------------
+    def make_eval_render(self):
+        """Jitted deterministic encode + render for val/test."""
+
+        @jax.jit
+        def render_fn(params, batch, step):
+            batch = self.data_shim(batch)
+            _, _, _, h, w = batch["target"]["image"].shape
+            gaussians = self.encoder.apply(params, batch["context"], step, True)
+            output = self.decoder(
+                gaussians,
+                batch["target"]["extrinsics"],
+                batch["target"]["intrinsics"],
+                batch["target"]["near"],
+                batch["target"]["far"],
+                (h, w),
+            )
+            return output.color
+
+        return render_fn
+
+    def make_eval_encode(self):
+        @partial(jax.jit, static_argnums=(2,))
+        def encode_fn(params, batch, deterministic, step, rng):
+            batch = self.data_shim(batch)
+            return self.encoder.apply(
+                params,
+                batch["context"],
+                step,
+                deterministic,
+                rngs={"sample": rng},
+            )
+
+        return encode_fn
+
+
+def _to_jax(batch):
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+        batch,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )

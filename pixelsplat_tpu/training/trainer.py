@@ -1,0 +1,220 @@
+"""Training/eval driver loops.
+
+Counterpart of Lightning's Trainer usage in /root/reference/src/main.py:
+fit() runs the jitted data-parallel train step over the train stream with
+periodic validation, checkpointing and logging; test() runs the evaluation
+protocol (deterministic encoder, per-scene renders saved as PNGs,
+encoder/decoder timing via the Benchmarker, 32-view decode chunking).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dataset.data_module import DataModule
+from ..evaluation.metrics import compute_psnr, compute_ssim
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.benchmarker import Benchmarker
+from ..utils.local_logger import LocalLogger
+from ..utils.step_tracker import StepTracker
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .model_wrapper import CheckpointingCfg, ModelWrapper, TrainState, _to_jax
+
+
+@dataclass(frozen=True)
+class TrainerCfg:
+    max_steps: int = -1
+    val_check_interval: int = 250
+    gradient_clip_val: float = 0.5
+    log_every_n_steps: int = 10
+
+
+def _strip_non_arrays(batch: dict) -> dict:
+    """Remove fields jit can't trace (scene names)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, dict):
+            out[k] = _strip_non_arrays(v)
+        elif isinstance(v, np.ndarray) or hasattr(v, "dtype"):
+            out[k] = v
+        # else drop (e.g. list of scene strings)
+    return out
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainerCfg,
+        wrapper: ModelWrapper,
+        data_module: DataModule,
+        checkpointing: CheckpointingCfg,
+        output_dir: Path,
+        step_tracker: Optional[StepTracker] = None,
+        logger: Optional[LocalLogger] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.wrapper = wrapper
+        self.data_module = data_module
+        self.checkpointing = checkpointing
+        self.output_dir = Path(output_dir)
+        self.step_tracker = step_tracker
+        self.logger = logger or LocalLogger(self.output_dir / "local")
+        self.seed = seed
+        self.benchmarker = Benchmarker()
+
+    # ------------------------------------------------------------------
+    def fit(self, resume_from: Optional[Path] = None) -> TrainState:
+        train_iter = iter(self.data_module.train_dataloader())
+        first_batch = next(train_iter)
+        state = self.wrapper.init_state(
+            _strip_non_arrays(first_batch), seed=self.seed
+        )
+        if resume_from is None and self.checkpointing.load is not None:
+            resume_from = Path(self.checkpointing.load)
+        if resume_from is not None:
+            state = load_checkpoint(resume_from, template=state)
+            print(f"Resumed from {resume_from} at step {int(state.step)}")
+
+        step_fn, mesh = self.wrapper.make_jit_train_step()
+        key = jax.random.PRNGKey(self.seed + 7)
+
+        max_steps = self.cfg.max_steps
+        step = int(state.step)
+        val_iter: Optional[Iterator] = None
+        batch = first_batch
+        while max_steps < 0 or step < max_steps:
+            arrays = shard_batch(_strip_non_arrays(batch), mesh)
+            key, sub = jax.random.split(key)
+            state, parts = step_fn(state, arrays, sub)
+            step += 1
+
+            if self.step_tracker is not None:
+                self.step_tracker.set_step(step)
+
+            if step % self.cfg.log_every_n_steps == 0:
+                host = {k: float(v) for k, v in parts.items()}
+                self.logger.log_metrics(host, step=step)
+                print(
+                    f"step {step}; "
+                    + "; ".join(f"{k}={v:.4f}" for k, v in host.items())
+                )
+
+            if (
+                self.checkpointing.every_n_train_steps > 0
+                and step % self.checkpointing.every_n_train_steps == 0
+            ):
+                path = save_checkpoint(
+                    self.output_dir / "checkpoints", step, state
+                )
+                print(f"Saved checkpoint {path}")
+
+            if self.cfg.val_check_interval > 0 and step % self.cfg.val_check_interval == 0:
+                if val_iter is None:
+                    val_iter = iter(self.data_module.val_dataloader())
+                try:
+                    self.validation_step(state, next(val_iter), step)
+                except StopIteration:
+                    val_iter = None
+
+            batch = next(train_iter)
+
+        save_checkpoint(self.output_dir / "checkpoints", step, state)
+        return state
+
+    # ------------------------------------------------------------------
+    def validation_step(self, state: TrainState, batch: dict, step: int) -> dict:
+        """Probabilistic vs deterministic render + metrics (reference
+        model_wrapper.py:201-309)."""
+        arrays = _to_jax(_strip_non_arrays(batch))
+        render_fn = self.wrapper.make_eval_render()
+        color_det = render_fn(state.params, arrays, state.step)
+        target = arrays["target"]["image"]
+        b, v, c, h, w = target.shape
+        metrics = {}
+        flat_gt = target.reshape(b * v, c, h, w)
+        flat_det = color_det.reshape(b * v, c, h, w)
+        metrics["val/psnr_deterministic"] = float(
+            compute_psnr(flat_gt, flat_det).mean()
+        )
+        metrics["val/ssim_deterministic"] = float(
+            compute_ssim(flat_gt, flat_det).mean()
+        )
+        self.logger.log_metrics(metrics, step=step)
+        comparison = np.concatenate(
+            [np.asarray(flat_gt[0]), np.asarray(flat_det[0])], axis=-1
+        )
+        self.logger.log_image("comparison", comparison, step=step)
+        print("validation;", "; ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
+        return metrics
+
+    # ------------------------------------------------------------------
+    def test(
+        self,
+        state_or_params,
+        chunk_size: int = 32,
+    ) -> dict:
+        """Evaluation protocol: deterministic encoder, render all target
+        views (chunked), save PNGs per scene, dump benchmarks."""
+        params = getattr(state_or_params, "params", state_or_params)
+        render_fn = self.wrapper.make_eval_render()
+        out_dir = Path(self.wrapper.test_cfg.output_path)
+        name = "pixelsplat_tpu"
+
+        all_metrics: dict[str, list[float]] = {"psnr": [], "ssim": []}
+        count = 0
+        for batch in self.data_module.test_dataloader():
+            scene = batch["scene"][0]
+            arrays = _to_jax(_strip_non_arrays(batch))
+            b, v = arrays["target"]["image"].shape[:2]
+            assert b == 1
+
+            colors = []
+            for lo in range(0, v, chunk_size):
+                hi = min(lo + chunk_size, v)
+                sub = {
+                    "context": arrays["context"],
+                    "target": jax.tree.map(
+                        lambda x: x[:, lo:hi],
+                        arrays["target"],
+                        is_leaf=lambda x: not isinstance(x, dict),
+                    ),
+                }
+                with self.benchmarker.time("render", num_calls=hi - lo):
+                    color = render_fn(params, sub, jnp.asarray(0))
+                    self.benchmarker.sync(color)
+                colors.append(np.asarray(color))
+            color = np.concatenate(colors, axis=1)[0]  # (v, 3, h, w)
+
+            gt = np.asarray(arrays["target"]["image"][0])
+            all_metrics["psnr"].append(
+                float(compute_psnr(jnp.asarray(gt), jnp.asarray(color)).mean())
+            )
+            all_metrics["ssim"].append(
+                float(compute_ssim(jnp.asarray(gt), jnp.asarray(color)).mean())
+            )
+
+            from PIL import Image
+
+            color_dir = out_dir / name / scene / "color"
+            color_dir.mkdir(parents=True, exist_ok=True)
+            indices = np.asarray(batch["target"]["index"][0])
+            for i, idx in enumerate(indices):
+                img = (np.clip(color[i], 0, 1) * 255).astype(np.uint8)
+                Image.fromarray(img.transpose(1, 2, 0)).save(
+                    color_dir / f"{idx:0>6}.png"
+                )
+            count += 1
+
+        self.benchmarker.dump(out_dir / name / "benchmark.json")
+        self.benchmarker.dump_memory(out_dir / name / "peak_memory.json")
+        summary = {k: float(np.mean(v)) for k, v in all_metrics.items() if v}
+        summary["num_scenes"] = count
+        print("test;", summary)
+        return summary
