@@ -145,6 +145,20 @@ def compose_config(
     # CLI selections beat experiment selections.
     selections = {**exp_selections, **selections}
 
+    # `override group: name` entries in the main defaults list modify the
+    # selection of an earlier entry (used by compute_metrics.yaml etc.).
+    pruned_defaults = []
+    own_overrides: dict[str, Any] = {}
+    for entry in defaults:
+        if isinstance(entry, dict):
+            ((group, name),) = entry.items()
+            if isinstance(group, str) and group.startswith("override"):
+                own_overrides[group[len("override") :].strip().lstrip("/")] = name
+                continue
+        pruned_defaults.append(entry)
+    defaults = pruned_defaults
+    selections = {**own_overrides, **selections}
+
     choices: dict[str, Any] = {}
     cfg: dict = {}
     deferred: list[tuple[str, str]] = []

@@ -1,0 +1,39 @@
+"""Vector-graphics rasterization onto images (JAX).
+
+Counterpart of the reference's software "shader" with recursive MSAA
+(/root/reference/src/visualization/drawing/rendering.py). Instead of
+supersampling, primitives here report a signed distance, and coverage is
+computed analytically from the distance field — smoother edges at lower
+cost, and trivially vectorized on TPU/CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+# A distance function maps pixel coordinates (..., 2) to distances (...,)
+# from the primitive's boundary (negative inside).
+DistanceFunction = Callable[[jax.Array], jax.Array]
+
+
+def coverage_from_distance(distance: jax.Array, feather: float = 1.0) -> jax.Array:
+    """Antialiased coverage in [0, 1] from a signed distance in pixels."""
+    return jnp.clip(0.5 - distance / feather, 0.0, 1.0)
+
+
+def render_primitives_over_image(
+    image: jax.Array,  # (3, h, w)
+    distance_fn: DistanceFunction,
+    color: jax.Array,  # (3,) or broadcastable
+) -> jax.Array:
+    """Alpha-over composite an antialiased primitive onto the image."""
+    _, h, w = image.shape
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    coords = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (h, w, 2)
+    alpha = coverage_from_distance(distance_fn(coords))  # (h, w)
+    color = jnp.asarray(color, image.dtype).reshape(3, 1, 1)
+    return image * (1 - alpha)[None] + color * alpha[None]
