@@ -99,6 +99,10 @@ class DatasetRE10k:
             ]
 
         for chunk_path in chunks:
+            native = self._open_native(chunk_path)
+            if native is not None:
+                yield from self._iter_native(native)
+                continue
             chunk = self._load_chunk(chunk_path)
             if self.cfg.overfit_to_scene is not None:
                 item = [x for x in chunk if x["key"] == self.cfg.overfit_to_scene]
@@ -119,11 +123,50 @@ class DatasetRE10k:
 
         return torch.load(path, map_location="cpu", weights_only=False)
 
+    def _open_native(self, chunk_path: Path):
+        """Prefer the .psz sibling decoded by the C++ loader when present."""
+        psz = chunk_path.with_suffix(".psz")
+        if not psz.exists():
+            return None
+        try:
+            from ..native import NativeChunk, native_available
+
+            if not native_available():
+                return None
+            return NativeChunk(psz)
+        except Exception:
+            return None
+
+    def _iter_native(self, native) -> Iterator[dict]:
+        order = list(range(len(native)))
+        if self.cfg.overfit_to_scene is not None:
+            match = [i for i in order if native.key(i) == self.cfg.overfit_to_scene]
+            order = match * len(order) if match else order
+        if self.stage in ("train", "val"):
+            order = [order[i] for i in self.rng.permutation(len(order))]
+        for i in order:
+            scene = native.key(i)
+            extrinsics, intrinsics = self.convert_poses(native.poses(i))
+
+            def get_images(indices, i=i):
+                frames = native.decode_frames(i, [int(x) for x in indices])
+                return frames.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+
+            out = self._assemble(scene, extrinsics, intrinsics, get_images)
+            if out is not None:
+                yield out
+
     def _process_example(self, example: dict) -> Optional[dict]:
         cameras = np.asarray(example["cameras"], dtype=np.float32)
         extrinsics, intrinsics = self.convert_poses(cameras)
         scene = example["key"]
 
+        def get_images(indices):
+            return self.convert_images([example["images"][int(i)] for i in indices])
+
+        return self._assemble(scene, extrinsics, intrinsics, get_images)
+
+    def _assemble(self, scene, extrinsics, intrinsics, get_images) -> Optional[dict]:
         try:
             context_indices, target_indices = self.view_sampler.sample(
                 scene, extrinsics, intrinsics, self.rng
@@ -135,13 +178,9 @@ class DatasetRE10k:
             return None
 
         try:
-            context_images = self.convert_images(
-                [example["images"][int(i)] for i in context_indices]
-            )
-            target_images = self.convert_images(
-                [example["images"][int(i)] for i in target_indices]
-            )
-        except IndexError:
+            context_images = get_images(context_indices)
+            target_images = get_images(target_indices)
+        except (IndexError, ValueError):
             return None
 
         # Shape filter (raw chunks are 360x640).

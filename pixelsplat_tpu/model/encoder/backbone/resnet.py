@@ -1,9 +1,15 @@
 """ResNet backbone in Flax with multi-scale feature fusion.
 
 Mirrors /root/reference/src/model/encoder/backbone/backbone_resnet.py:
-a torchvision-style ResNet where every norm is a parameter-free
-InstanceNorm (affine=False, no running stats), per-stage 1x1 projections
-to d_out, bilinear upsample of every stage to full resolution, and a sum.
+a torchvision-style ResNet, per-stage 1x1 projections to d_out, bilinear
+(align_corners=True) upsample of every stage to full resolution, and a sum.
+
+Norm semantics follow the reference: models constructed from torchvision
+use parameter-free InstanceNorm (affine=False, no running stats); the
+"dino_resnet50" variant is the torch-hub DINO model whose BatchNorm layers
+carry pretrained scale/bias/running stats — represented here as frozen
+parameters applied in inference mode (norm_mode="batch"), which is what
+weight import needs for parity.
 
 Note the reference's maxpool quirk: `use_first_pool` is only consulted for
 index 0 inside a loop that starts at 1, so the pool is never applied; we
@@ -14,7 +20,7 @@ when false the spatial strides match the reference exactly.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Literal, Sequence
+from typing import Literal
 
 import flax.linen as nn
 import jax
@@ -39,28 +45,45 @@ class BackboneResnetCfg:
     d_out: int = 512
 
 
-def _instance_norm(x: jax.Array, name: str) -> jax.Array:
-    # InstanceNorm2d(affine=False, track_running_stats=False): per-sample,
-    # per-channel spatial normalization with no learned parameters.
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+class Norm(nn.Module):
+    """InstanceNorm (parameter-free) or frozen inference-mode BatchNorm."""
+
+    mode: str  # "instance" | "batch"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.mode == "instance":
+            mean = x.mean(axis=(1, 2), keepdims=True)
+            var = x.var(axis=(1, 2), keepdims=True)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.param("mean", nn.initializers.zeros, (c,))
+        var = self.param("var", nn.initializers.ones, (c,))
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
 
 
 class BasicBlock(nn.Module):
     channels: int
     stride: int = 1
+    norm_mode: str = "instance"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        norm = lambda name: Norm(self.norm_mode, name=name)
         residual = x
         y = nn.Conv(
-            self.channels, (3, 3), strides=self.stride, use_bias=False, name="conv1"
+            self.channels,
+            (3, 3),
+            strides=self.stride,
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            name="conv1",
         )(x)
-        y = _instance_norm(y, "in1")
-        y = nn.relu(y)
+        y = nn.relu(norm("bn1")(y))
         y = nn.Conv(self.channels, (3, 3), use_bias=False, name="conv2")(y)
-        y = _instance_norm(y, "in2")
+        y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.channels:
             residual = nn.Conv(
                 self.channels,
@@ -69,31 +92,38 @@ class BasicBlock(nn.Module):
                 use_bias=False,
                 name="downsample",
             )(x)
-            residual = _instance_norm(residual, "in_ds")
+            residual = norm("bn_ds")(residual)
         return nn.relu(y + residual)
 
 
 class Bottleneck(nn.Module):
     channels: int  # internal width; output is channels * 4
     stride: int = 1
+    norm_mode: str = "instance"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        norm = lambda name: Norm(self.norm_mode, name=name)
         out_ch = self.channels * 4
         residual = x
         y = nn.Conv(self.channels, (1, 1), use_bias=False, name="conv1")(x)
-        y = nn.relu(_instance_norm(y, "in1"))
+        y = nn.relu(norm("bn1")(y))
         y = nn.Conv(
-            self.channels, (3, 3), strides=self.stride, use_bias=False, name="conv2"
+            self.channels,
+            (3, 3),
+            strides=self.stride,
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            name="conv2",
         )(y)
-        y = nn.relu(_instance_norm(y, "in2"))
+        y = nn.relu(norm("bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
-        y = _instance_norm(y, "in3")
+        y = norm("bn3")(y)
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = nn.Conv(
                 out_ch, (1, 1), strides=self.stride, use_bias=False, name="downsample"
             )(x)
-            residual = _instance_norm(residual, "in_ds")
+            residual = norm("bn_ds")(residual)
         return nn.relu(y + residual)
 
 
@@ -132,11 +162,12 @@ class BackboneResnet(nn.Module):
         cfg = self.cfg
         block_kind, stage_sizes = RESNET_SPECS[cfg.model]
         block = BasicBlock if block_kind == "basic" else Bottleneck
+        norm_mode = "batch" if cfg.model == "dino_resnet50" else "instance"
         b, v, _, h, w = images.shape
         x = images.reshape(b * v, 3, h, w).transpose(0, 2, 3, 1)  # NHWC
 
-        x = nn.Conv(64, (7, 7), strides=2, use_bias=False, name="conv1")(x)
-        x = nn.relu(_instance_norm(x, "in1"))
+        x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)), use_bias=False, name="conv1")(x)
+        x = nn.relu(Norm(norm_mode, name="bn1")(x))
         features = [nn.Conv(cfg.d_out, (1, 1), name="projection0")(x)]
 
         widths = (64, 128, 256, 512)
@@ -153,6 +184,7 @@ class BackboneResnet(nn.Module):
                 x = block(
                     widths[stage - 1],
                     stride=stride if i == 0 else 1,
+                    norm_mode=norm_mode,
                     name=f"layer{stage}_block{i}",
                 )(x)
             features.append(nn.Conv(cfg.d_out, (1, 1), name=f"projection{stage}")(x))

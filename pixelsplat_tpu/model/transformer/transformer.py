@@ -44,6 +44,10 @@ class Attention(nn.Module):
         scale = self.dim_head**-0.5
         logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
         attn = jax.nn.softmax(logits, axis=-1)
+        # Capture attention maps for the encoder visualizer (reference
+        # hooks the softmax module; here `sow` is free unless the
+        # "intermediates" collection is requested).
+        self.sow("intermediates", "attention", attn)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)

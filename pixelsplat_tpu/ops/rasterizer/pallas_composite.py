@@ -1,0 +1,163 @@
+"""Pallas TPU kernel for front-to-back tile compositing.
+
+One grid program per 16x16 tile. The depth-sorted per-tile Gaussian
+parameters live in HBM as (tiles, 16, K) — K on the lane axis — and are
+streamed in (16, 128) chunks with double-buffered DMA. Per chunk:
+
+* alpha for all 256 tile pixels at once on the VPU;
+* the ordered (exclusive) transmittance prefix along the chunk is a
+  strictly-lower-triangular matmul in log space — an MXU (128,128)@(128,256)
+  contraction instead of a serial scan;
+* color accumulation is a second MXU matmul (256,128)@(128,8).
+
+The chunk loop is a `lax.while_loop` that stops early once every pixel's
+transmittance drops below 1e-4 — the data-dependent early exit the CUDA
+kernel relies on and XLA cannot express.
+
+Parameter row layout (16, K): 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c,
+5 opacity (zeroed for invalid/padding entries), 6..6+ch colors, rest pad.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 16
+P = TILE * TILE  # 256 pixels
+C = 128  # depth-chunk size (lane width)
+F = 16  # parameter rows
+CH_PAD = 8  # padded color channels for the accumulation matmul
+TRANS_EPS = 1e-4
+MAX_ALPHA = 0.99
+MIN_ALPHA = 1.0 / 255.0
+
+
+def _kernel(
+    counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
+    tiles_x_ref,  # SMEM (1,) int32 — scalar prefetch
+    params_hbm,  # ANY (num_tiles, F, K)
+    acc_ref,  # VMEM out (1, P, CH_PAD)
+    trans_ref,  # VMEM out (1, P)
+    scratch,  # VMEM (2, F, C)
+    sems,  # DMA semaphores (2,)
+):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    tiles_x = tiles_x_ref[0]
+    n_chunks = pl.cdiv(count, C)
+
+    # Pixel coordinates of this tile, laid out (P,) -> computed as (C?, no)
+    # (1, P) row vectors so broadcasts against (C, P) chunk arrays.
+    tile_x0 = ((t % tiles_x) * TILE).astype(jnp.float32)
+    tile_y0 = ((t // tiles_x) * TILE).astype(jnp.float32)
+    within = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = tile_x0 + (within % TILE).astype(jnp.float32)  # (1, P)
+    py = tile_y0 + (within // TILE).astype(jnp.float32)
+
+    # Strictly-lower-triangular ones for the in-chunk exclusive prefix sum.
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    lower = (col_j < row_i).astype(jnp.float32)  # (C, C)
+
+    def get_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            params_hbm.at[t, :, pl.ds(chunk_idx * C, C)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        i, trans, acc = state
+        return jnp.logical_and(i < n_chunks, jnp.max(trans) >= TRANS_EPS)
+
+    def body(state):
+        i, trans, acc = state
+        slot = i % 2
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        get_dma(slot, i).wait()
+        chunk = scratch[slot]  # (F, C)
+
+        mx = chunk[0, :][:, None]  # (C, 1)
+        my = chunk[1, :][:, None]
+        ca = chunk[2, :][:, None]
+        cb = chunk[3, :][:, None]
+        cc = chunk[4, :][:, None]
+        op = chunk[5, :][:, None]
+
+        dx = px - mx  # (C, P)
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(MAX_ALPHA, op * jnp.exp(power))
+        alpha = jnp.where((power <= 0.0) & (alpha >= MIN_ALPHA), alpha, 0.0)
+
+        # Ordered transmittance: exclusive prefix of log(1-alpha) via MXU.
+        la = jnp.log1p(-alpha)  # (C, P)
+        excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)  # (C, P)
+        t_before = trans * jnp.exp(excl)  # trans is (1, P)
+        weight = alpha * t_before  # (C, P)
+
+        colors = chunk[6 : 6 + CH_PAD, :]  # (CH_PAD, C)
+        acc = acc + jnp.dot(
+            colors, weight, preferred_element_type=jnp.float32
+        )  # (CH_PAD, P)
+        trans = trans * jnp.exp(jnp.sum(la, axis=0, keepdims=True))  # (1, P)
+        return i + 1, trans, acc
+
+    trans0 = jnp.ones((1, P), jnp.float32)
+    acc0 = jnp.zeros((CH_PAD, P), jnp.float32)
+    _, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
+
+    acc_ref[0] = acc.T  # (P, CH_PAD)
+    trans_ref[0] = trans[0]
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_x", "interpret"))
+def pallas_composite_core(
+    params_t: jax.Array,  # (num_tiles, F, Kpad) float32, Kpad % 128 == 0
+    counts: jax.Array,  # (num_tiles,) int32
+    tiles_x: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (acc (num_tiles, P, CH_PAD), trans (num_tiles, P))."""
+    num_tiles, f, kpad = params_t.shape
+    assert f == F and kpad % C == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec((1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, F, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    acc, trans = pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, P, CH_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, P), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(counts, jnp.asarray([tiles_x], jnp.int32), params_t)
+    return acc, trans
