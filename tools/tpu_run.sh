@@ -3,11 +3,11 @@
 # single-client claim that lingers ~60s after the previous process exits).
 set -u
 export PYTHONPATH=/root/repo
-for attempt in 1 2 3 4 5 6; do
+for attempt in 1 2 3 4 5 6 7 8; do
   python "$@"
   code=$?
   if [ $code -eq 0 ]; then exit 0; fi
   echo "[tpu_run] attempt $attempt exited with $code; retrying in 45s" >&2
-  sleep 45
+  sleep 75
 done
 exit 1
