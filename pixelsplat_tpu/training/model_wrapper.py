@@ -121,7 +121,7 @@ class ModelWrapper:
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, parts
 
-    def make_jit_train_step(self, mesh=None):
+    def make_jit_train_step(self, mesh=None, batch_size=None):
         """Data-parallel train step via shard_map over the mesh.
 
         shard_map keeps the per-device program identical to the
@@ -135,6 +135,10 @@ class ModelWrapper:
 
         if mesh is None:
             mesh = make_mesh()
+        if batch_size is not None and batch_size % mesh.size != 0:
+            # Use the largest device count that divides the batch.
+            n = max(d for d in range(1, mesh.size + 1) if batch_size % d == 0)
+            mesh = make_mesh(n)
 
         def per_device_step(state, batch, rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))

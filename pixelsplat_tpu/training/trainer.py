@@ -82,7 +82,9 @@ class Trainer:
             state = load_checkpoint(resume_from, template=state)
             print(f"Resumed from {resume_from} at step {int(state.step)}")
 
-        step_fn, mesh = self.wrapper.make_jit_train_step()
+        step_fn, mesh = self.wrapper.make_jit_train_step(
+            batch_size=first_batch["context"]["image"].shape[0]
+        )
         key = jax.random.PRNGKey(self.seed + 7)
 
         max_steps = self.cfg.max_steps
@@ -153,6 +155,73 @@ class Trainer:
         self.logger.log_image("comparison", comparison, step=step)
         print("validation;", "; ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
         return metrics
+
+    # ------------------------------------------------------------------
+    def render_video_wobble(self, state, batch: dict, step: int, num_frames: int = 60):
+        """Camera-wobble video around the first context view (reference
+        model_wrapper.py:311-335)."""
+        import numpy as np
+
+        from ..visualization.camera_trajectory.wobble import (
+            generate_wobble,
+            generate_wobble_transformation,
+        )
+
+        extr = np.asarray(batch["context"]["extrinsics"][0])
+        intr = np.asarray(batch["context"]["intrinsics"][0])
+        delta = float(np.linalg.norm(extr[0, :3, 3] - extr[-1, :3, 3]))
+        t = np.linspace(0, 1, num_frames).astype(np.float32)
+        cameras = generate_wobble(extr[0], np.asarray(delta * 0.25), t)
+        intrinsics = np.broadcast_to(intr[0], (num_frames, 3, 3))
+        return self._render_video(state, batch, cameras, intrinsics, "wobble", step)
+
+    def render_video_interpolation(
+        self, state, batch: dict, step: int, num_frames: int = 30
+    ):
+        """Context-to-context interpolation video (reference
+        model_wrapper.py:337-361)."""
+        import numpy as np
+
+        from ..visualization.camera_trajectory.interpolation import (
+            interpolate_extrinsics,
+            interpolate_intrinsics,
+        )
+
+        extr = np.asarray(batch["context"]["extrinsics"][0])
+        intr = np.asarray(batch["context"]["intrinsics"][0])
+        t = np.linspace(0, 1, num_frames).astype(np.float32)
+        cameras = interpolate_extrinsics(extr[0], extr[-1], t)
+        intrinsics = interpolate_intrinsics(intr[0], intr[-1], t)
+        return self._render_video(
+            state, batch, cameras, intrinsics, "interpolation", step
+        )
+
+    def _render_video(self, state, batch, cameras, intrinsics, name, step):
+        import numpy as np
+
+        from ..utils.video import save_video
+
+        params = getattr(state, "params", state)
+        arrays = _to_jax(_strip_non_arrays(batch))
+        *_, h, w = np.asarray(arrays["context"]["image"]).shape
+        near = float(np.asarray(arrays["context"]["near"][0, 0]))
+        far = float(np.asarray(arrays["context"]["far"][0, 0]))
+        encode = self.wrapper.make_eval_encode()
+        gaussians = encode(
+            params, arrays, True, jnp.asarray(step), jax.random.PRNGKey(0)
+        )
+        n = cameras.shape[0]
+        out = self.wrapper.decoder(
+            gaussians,
+            jnp.asarray(cameras)[None],
+            jnp.asarray(intrinsics)[None],
+            jnp.full((1, n), near),
+            jnp.full((1, n), far),
+            (h, w),
+        )
+        frames = np.asarray(out.color[0])  # (n, 3, h, w)
+        path = save_video(frames, Path(self.logger.path) / "video" / f"{name}_{step}.mp4")
+        return path
 
     # ------------------------------------------------------------------
     def test(
