@@ -134,22 +134,30 @@ def _composite_core(params_t, counts, tiles_x):
 
 
 def _composite_core_fwd(params_t, counts, tiles_x):
-    from .pallas_composite import pallas_composite_core
-
-    backend = jax.default_backend()
-    if backend == "cpu":
-        out = _xla_composite_core(params_t, counts, tiles_x)
+    if jax.default_backend() == "cpu":
+        acc, trans = _xla_composite_core(params_t, counts, tiles_x)
+        n_proc = None
     else:
-        out = pallas_composite_core(params_t, counts, tiles_x)
-    return out, (params_t, counts)
+        from .pallas_composite import pallas_composite_core
+
+        acc, trans, n_proc = pallas_composite_core(params_t, counts, tiles_x)
+    return (acc, trans), (params_t, counts, n_proc, trans)
 
 
 def _composite_core_bwd(tiles_x, residuals, cotangents):
-    params_t, counts = residuals
-    _, vjp_fn = jax.vjp(
-        lambda p: _xla_composite_core(p, counts, tiles_x), params_t
-    )
-    (d_params,) = vjp_fn(cotangents)
+    params_t, counts, n_proc, trans = residuals
+    g_acc, g_trans = cotangents
+    if n_proc is None:
+        _, vjp_fn = jax.vjp(
+            lambda p: _xla_composite_core(p, counts, tiles_x), params_t
+        )
+        (d_params,) = vjp_fn(cotangents)
+    else:
+        from .pallas_backward import pallas_composite_bwd
+
+        d_params = pallas_composite_bwd(
+            params_t, counts, n_proc, trans, g_acc, g_trans, tiles_x
+        )
     return d_params, None
 
 

@@ -1,0 +1,221 @@
+"""Pallas TPU backward kernel for tile compositing.
+
+Mirrors the CUDA rasterizer's backward strategy: walk each tile's Gaussian
+list back-to-front, reconstructing per-Gaussian transmittance from the
+forward's final transmittance (log space, so dividing out (1-alpha)
+factors stays stable) and accumulating the suffix sum S_i =
+sum_{j>i} w_j (c_j . g) needed for d alpha. Per-chunk suffix scans are
+triangular matmuls on the MXU; parameter gradients are pixel-axis
+reductions written back chunk-by-chunk with DMA.
+
+Gradient formulas (per pixel, g = dL/dacc, gT = dL/dtrans):
+  w_i   = alpha_i T_i
+  dc_i  = w_i g
+  dalpha_i = T_i (c_i . g) - (S_i + gT * T_end) / (1 - alpha_i)
+then through alpha_i = min(0.99, op_i exp(power_i)) (zero where the
+forward masked or clamped) to (d op, d conic, d mean2d).
+
+The forward reports how many chunks it actually processed per tile
+(early exit); the backward walks exactly those and zeroes the rest, so
+the gradient matches the forward function exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_composite import C, CH_PAD, F, MAX_ALPHA, MIN_ALPHA, P, TILE
+
+
+def _bwd_kernel(
+    counts_ref,  # SMEM (T,) — unused (n_proc bounds the walk); kept for parity
+    n_proc_ref,  # SMEM (T,) chunks the forward processed
+    tiles_x_ref,  # SMEM (1,)
+    params_hbm,  # ANY (T, F, K)
+    g_acc_ref,  # VMEM (1, P, CH_PAD)
+    g_trans_ref,  # VMEM (1, P)
+    trans_final_ref,  # VMEM (1, P)
+    d_params_hbm,  # ANY out (T, F, K)
+    in_scratch,  # VMEM (2, F, C)
+    out_scratch,  # VMEM (1, F, C)
+    in_sems,  # DMA (2,)
+    out_sem,  # DMA (1,)
+):
+    t = pl.program_id(0)
+    n_proc = n_proc_ref[t]
+    tiles_x = tiles_x_ref[0]
+    total_chunks = params_hbm.shape[2] // C
+
+    tile_x0 = ((t % tiles_x) * TILE).astype(jnp.float32)
+    tile_y0 = ((t // tiles_x) * TILE).astype(jnp.float32)
+    within = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = tile_x0 + (within % TILE).astype(jnp.float32)
+    py = tile_y0 + (within // TILE).astype(jnp.float32)
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    upper_incl = (col_j >= row_i).astype(jnp.float32)
+    upper_strict = (col_j > row_i).astype(jnp.float32)
+
+    g = g_acc_ref[0].T  # (CH_PAD, P)
+    g_trans = g_trans_ref[0][None, :]  # (1, P)
+    trans_final = trans_final_ref[0][None, :]  # (1, P)
+
+    def get_in_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            params_hbm.at[t, :, pl.ds(chunk_idx * C, C)],
+            in_scratch.at[slot],
+            in_sems.at[slot],
+        )
+
+    def write_out(chunk_idx, values):
+        out_scratch[0] = values
+        dma = pltpu.make_async_copy(
+            out_scratch.at[0],
+            d_params_hbm.at[t, :, pl.ds(chunk_idx * C, C)],
+            out_sem.at[0],
+        )
+        dma.start()
+        dma.wait()
+
+    @pl.when(n_proc > 0)
+    def _():
+        get_in_dma(0, n_proc - 1).start()
+
+    log_t_end0 = jnp.log(jnp.maximum(trans_final, 1e-30))  # (1, P)
+    s_run0 = g_trans * trans_final  # (1, P)
+    zero_chunk = jnp.zeros((F, C), jnp.float32)
+
+    def body(k, state):
+        # k counts processed-from-the-back; chunk index i walks backward.
+        log_t_end, s_run = state
+        i = n_proc - 1 - k
+        slot = k % 2
+
+        @pl.when(k + 1 < n_proc)
+        def _():
+            get_in_dma((k + 1) % 2, i - 1).start()
+
+        get_in_dma(slot, i).wait()
+        chunk = in_scratch[slot]  # (F, C)
+
+        mx = chunk[0, :][:, None]
+        my = chunk[1, :][:, None]
+        ca = chunk[2, :][:, None]
+        cb = chunk[3, :][:, None]
+        cc = chunk[4, :][:, None]
+        op = chunk[5, :][:, None]
+        colors = chunk[6 : 6 + CH_PAD, :]  # (CH_PAD, C)
+
+        dx = px - mx  # (C, P)
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        expp = jnp.exp(power)
+        raw = op * expp
+        live = (power <= 0.0) & (raw >= MIN_ALPHA)
+        alpha = jnp.where(live, jnp.minimum(MAX_ALPHA, raw), 0.0)
+        pass_through = live & (raw < MAX_ALPHA)
+
+        la = jnp.log1p(-alpha)  # (C, P)
+        suffix_incl = jnp.dot(upper_incl, la, preferred_element_type=jnp.float32)
+        t_i = jnp.exp(log_t_end - suffix_incl)  # (C, P)
+        w = alpha * t_i
+
+        # Per-(gaussian, pixel) color-dot-grad.
+        cg = jnp.dot(colors.T, g, preferred_element_type=jnp.float32)  # (C, P)
+        u = w * cg
+        suffix_u = jnp.dot(upper_strict, u, preferred_element_type=jnp.float32)
+        s_i = s_run + suffix_u
+
+        d_alpha = t_i * cg - s_i / (1.0 - alpha)
+        d_alpha = jnp.where(pass_through, d_alpha, 0.0)
+        d_power = d_alpha * raw
+        d_op = jnp.sum(d_alpha * expp, axis=1)  # (C,)
+
+        d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=1)
+        d_cb = jnp.sum(-dx * dy * d_power, axis=1)
+        d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=1)
+        d_mx = jnp.sum((ca * dx + cb * dy) * d_power, axis=1)
+        d_my = jnp.sum((cc * dy + cb * dx) * d_power, axis=1)
+        d_colors = jnp.dot(g, w.T, preferred_element_type=jnp.float32)  # (CH_PAD, C)
+
+        d_chunk = zero_chunk
+        d_chunk = d_chunk.at[0, :].set(d_mx)
+        d_chunk = d_chunk.at[1, :].set(d_my)
+        d_chunk = d_chunk.at[2, :].set(d_ca)
+        d_chunk = d_chunk.at[3, :].set(d_cb)
+        d_chunk = d_chunk.at[4, :].set(d_cc)
+        d_chunk = d_chunk.at[5, :].set(d_op)
+        d_chunk = d_chunk.at[6 : 6 + CH_PAD, :].set(d_colors)
+        write_out(i, d_chunk)
+
+        log_t_end = log_t_end - jnp.sum(la, axis=0, keepdims=True)
+        s_run = s_run + jnp.sum(u, axis=0, keepdims=True)
+        return log_t_end, s_run
+
+    jax.lax.fori_loop(0, n_proc, body, (log_t_end0, s_run0))
+
+    # Chunks the forward never processed get zero gradients.
+    def zero_body(i, _):
+        write_out(i, zero_chunk)
+        return 0
+
+    jax.lax.fori_loop(n_proc, total_chunks, zero_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_x", "interpret"))
+def pallas_composite_bwd(
+    params_t: jax.Array,  # (T, F, Kpad)
+    counts: jax.Array,  # (T,)
+    n_proc: jax.Array,  # (T,) chunks processed by the forward
+    trans_final: jax.Array,  # (T, P)
+    g_acc: jax.Array,  # (T, P, CH_PAD)
+    g_trans: jax.Array,  # (T, P)
+    tiles_x: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns d_params with the same (T, F, Kpad) layout."""
+    num_tiles, f, kpad = params_t.shape
+    assert f == F and kpad % C == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, P), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, F, C), jnp.float32),
+            pltpu.VMEM((1, F, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, F, kpad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        counts,
+        n_proc,
+        jnp.asarray([tiles_x], jnp.int32),
+        params_t,
+        g_acc,
+        g_trans,
+        trans_final,
+    )

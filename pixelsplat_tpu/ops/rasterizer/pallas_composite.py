@@ -43,6 +43,7 @@ def _kernel(
     params_hbm,  # ANY (num_tiles, F, K)
     acc_ref,  # VMEM out (1, P, CH_PAD)
     trans_ref,  # VMEM out (1, P)
+    n_proc_ref,  # VMEM out (1, 1) int32: chunks processed (early exit point)
     scratch,  # VMEM (2, F, C)
     sems,  # DMA semaphores (2,)
 ):
@@ -118,10 +119,11 @@ def _kernel(
 
     trans0 = jnp.ones((1, P), jnp.float32)
     acc0 = jnp.zeros((CH_PAD, P), jnp.float32)
-    _, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
+    n_done, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
 
     acc_ref[0] = acc.T  # (P, CH_PAD)
     trans_ref[0] = trans[0]
+    n_proc_ref[0, 0] = n_done
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "interpret"))
@@ -131,7 +133,7 @@ def pallas_composite_core(
     tiles_x: int,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (acc (num_tiles, P, CH_PAD), trans (num_tiles, P))."""
+    """Returns (acc (T, P, CH_PAD), trans (T, P), n_processed (T,))."""
     num_tiles, f, kpad = params_t.shape
     assert f == F and kpad % C == 0
 
@@ -142,17 +144,19 @@ def pallas_composite_core(
         out_specs=(
             pl.BlockSpec((1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, F, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    acc, trans = pl.pallas_call(
+    acc, trans, n_proc = pl.pallas_call(
         _kernel,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles, P, CH_PAD), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, P), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -160,4 +164,4 @@ def pallas_composite_core(
             dimension_semantics=("arbitrary",),
         ),
     )(counts, jnp.asarray([tiles_x], jnp.int32), params_t)
-    return acc, trans
+    return acc, trans, n_proc[:, 0]
