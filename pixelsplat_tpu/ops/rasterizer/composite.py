@@ -57,7 +57,7 @@ def build_tile_params(
     op = jnp.where(ok, opacity[idx], 0.0)  # (T, K)
 
     ch = cl.shape[-1]
-    assert ch <= CH_PAD
+    assert ch <= 6  # channels 6-7 carry n_proc + transmittance
     t_, k_ = op.shape
     rows = [m[..., 0], m[..., 1], cn[..., 0], cn[..., 1], cn[..., 2], op]
     rows += [cl[..., i] for i in range(ch)]
@@ -154,10 +154,12 @@ def _composite_core_bwd(tiles_x, residuals, cotangents):
         (d_params,) = vjp_fn(cotangents)
     else:
         from .pallas_backward import pallas_composite_bwd
+        from .pallas_composite import NPROC_CH, TRANS_CH
 
-        d_params = pallas_composite_bwd(
-            params_t, counts, n_proc, trans, g_acc, g_trans, tiles_x
+        packed_g = (
+            g_acc.at[..., NPROC_CH].set(trans).at[..., TRANS_CH].set(g_trans)
         )
+        d_params = pallas_composite_bwd(params_t, n_proc, packed_g, tiles_x)
     return d_params, None
 
 

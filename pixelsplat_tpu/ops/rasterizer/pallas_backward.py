@@ -15,9 +15,12 @@ Gradient formulas (per pixel, g = dL/dacc, gT = dL/dtrans):
 then through alpha_i = min(0.99, op_i exp(power_i)) (zero where the
 forward masked or clamped) to (d op, d conic, d mean2d).
 
-The forward reports how many chunks it actually processed per tile
-(early exit); the backward walks exactly those and zeroes the rest, so
-the gradient matches the forward function exactly.
+Input packing (TPU block-tiling needs (P, CH_PAD)-shaped VMEM blocks):
+`packed_g` is (T, P, CH_PAD) with color cotangents in channels [0..5],
+the forward's final transmittance in channel NPROC_CH and the
+transmittance cotangent in channel TRANS_CH. The forward's per-tile
+early-exit chunk count arrives via scalar prefetch, so the backward walks
+exactly the chunks the forward processed and zeroes the rest.
 """
 
 from __future__ import annotations
@@ -29,17 +32,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_composite import C, CH_PAD, F, MAX_ALPHA, MIN_ALPHA, P, TILE
+from .pallas_composite import (
+    C,
+    CH_PAD,
+    F,
+    MAX_ALPHA,
+    MIN_ALPHA,
+    NPROC_CH,
+    P,
+    TILE,
+    TRANS_CH,
+)
 
 
 def _bwd_kernel(
-    counts_ref,  # SMEM (T,) — unused (n_proc bounds the walk); kept for parity
     n_proc_ref,  # SMEM (T,) chunks the forward processed
     tiles_x_ref,  # SMEM (1,)
     params_hbm,  # ANY (T, F, K)
-    g_acc_ref,  # VMEM (1, P, CH_PAD)
-    g_trans_ref,  # VMEM (1, P)
-    trans_final_ref,  # VMEM (1, P)
+    packed_g_ref,  # VMEM (1, P, CH_PAD)
     d_params_hbm,  # ANY out (T, F, K)
     in_scratch,  # VMEM (2, F, C)
     out_scratch,  # VMEM (1, F, C)
@@ -62,9 +72,13 @@ def _bwd_kernel(
     upper_incl = (col_j >= row_i).astype(jnp.float32)
     upper_strict = (col_j > row_i).astype(jnp.float32)
 
-    g = g_acc_ref[0].T  # (CH_PAD, P)
-    g_trans = g_trans_ref[0][None, :]  # (1, P)
-    trans_final = trans_final_ref[0][None, :]  # (1, P)
+    packed = packed_g_ref[0].T  # (CH_PAD, P)
+    trans_final = packed[NPROC_CH, :][None, :]  # (1, P)
+    g_trans = packed[TRANS_CH, :][None, :]  # (1, P)
+    # Color cotangents with the stashed channels zeroed (params color rows
+    # 12-13 are zero anyway, but d_colors reductions read g directly).
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (CH_PAD, P), 0)
+    g = jnp.where(ch_ids < NPROC_CH, packed, 0.0)  # (CH_PAD, P)
 
     def get_in_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
@@ -119,7 +133,7 @@ def _bwd_kernel(
         raw = op * expp
         live = (power <= 0.0) & (raw >= MIN_ALPHA)
         alpha = jnp.where(live, jnp.minimum(MAX_ALPHA, raw), 0.0)
-        pass_through = live & (raw < MAX_ALPHA)
+        pass_through = (live & (raw < MAX_ALPHA)).astype(jnp.float32)
 
         la = jnp.log1p(-alpha)  # (C, P)
         suffix_incl = jnp.dot(upper_incl, la, preferred_element_type=jnp.float32)
@@ -132,8 +146,7 @@ def _bwd_kernel(
         suffix_u = jnp.dot(upper_strict, u, preferred_element_type=jnp.float32)
         s_i = s_run + suffix_u
 
-        d_alpha = t_i * cg - s_i / (1.0 - alpha)
-        d_alpha = jnp.where(pass_through, d_alpha, 0.0)
+        d_alpha = (t_i * cg - s_i / (1.0 - alpha)) * pass_through
         d_power = d_alpha * raw
         d_op = jnp.sum(d_alpha * expp, axis=1)  # (C,)
 
@@ -144,14 +157,19 @@ def _bwd_kernel(
         d_my = jnp.sum((cc * dy + cb * dx) * d_power, axis=1)
         d_colors = jnp.dot(g, w.T, preferred_element_type=jnp.float32)  # (CH_PAD, C)
 
-        d_chunk = zero_chunk
-        d_chunk = d_chunk.at[0, :].set(d_mx)
-        d_chunk = d_chunk.at[1, :].set(d_my)
-        d_chunk = d_chunk.at[2, :].set(d_ca)
-        d_chunk = d_chunk.at[3, :].set(d_cb)
-        d_chunk = d_chunk.at[4, :].set(d_cc)
-        d_chunk = d_chunk.at[5, :].set(d_op)
-        d_chunk = d_chunk.at[6 : 6 + CH_PAD, :].set(d_colors)
+        d_chunk = jnp.concatenate(
+            [
+                d_mx[None, :],
+                d_my[None, :],
+                d_ca[None, :],
+                d_cb[None, :],
+                d_cc[None, :],
+                d_op[None, :],
+                d_colors,
+                jnp.zeros((F - 6 - CH_PAD, C), jnp.float32),
+            ],
+            axis=0,
+        )  # (F, C)
         write_out(i, d_chunk)
 
         log_t_end = log_t_end - jnp.sum(la, axis=0, keepdims=True)
@@ -171,11 +189,8 @@ def _bwd_kernel(
 @functools.partial(jax.jit, static_argnames=("tiles_x", "interpret"))
 def pallas_composite_bwd(
     params_t: jax.Array,  # (T, F, Kpad)
-    counts: jax.Array,  # (T,)
     n_proc: jax.Array,  # (T,) chunks processed by the forward
-    trans_final: jax.Array,  # (T, P)
-    g_acc: jax.Array,  # (T, P, CH_PAD)
-    g_trans: jax.Array,  # (T, P)
+    packed_g: jax.Array,  # (T, P, CH_PAD): see module docstring
     tiles_x: int,
     interpret: bool = False,
 ) -> jax.Array:
@@ -184,15 +199,13 @@ def pallas_composite_bwd(
     assert f == F and kpad % C == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
                 (1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, P), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
@@ -211,11 +224,8 @@ def pallas_composite_bwd(
             dimension_semantics=("arbitrary",),
         ),
     )(
-        counts,
         n_proc,
         jnp.asarray([tiles_x], jnp.int32),
         params_t,
-        g_acc,
-        g_trans,
-        trans_final,
+        packed_g,
     )

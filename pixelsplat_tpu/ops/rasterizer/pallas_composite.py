@@ -8,14 +8,21 @@ streamed in (16, 128) chunks with double-buffered DMA. Per chunk:
 * the ordered (exclusive) transmittance prefix along the chunk is a
   strictly-lower-triangular matmul in log space — an MXU (128,128)@(128,256)
   contraction instead of a serial scan;
-* color accumulation is a second MXU matmul (256,128)@(128,8).
+* color accumulation is a second MXU matmul.
 
 The chunk loop is a `lax.while_loop` that stops early once every pixel's
 transmittance drops below 1e-4 — the data-dependent early exit the CUDA
 kernel relies on and XLA cannot express.
 
 Parameter row layout (16, K): 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c,
-5 opacity (zeroed for invalid/padding entries), 6..6+ch colors, rest pad.
+5 opacity (zeroed for invalid/padding entries), 6..6+ch colors (ch <= 6),
+rest zero padding.
+
+The single output is (tiles, 256, 8): channels [0..5] composited colors,
+channel 6 the number of processed chunks (early-exit point, as float),
+channel 7 the final transmittance. Packing these into the color block
+satisfies the TPU block-tiling constraint (a separate (1, 256) output
+block is not a legal tile shape).
 """
 
 from __future__ import annotations
@@ -31,7 +38,9 @@ TILE = 16
 P = TILE * TILE  # 256 pixels
 C = 128  # depth-chunk size (lane width)
 F = 16  # parameter rows
-CH_PAD = 8  # padded color channels for the accumulation matmul
+CH_PAD = 8  # output channels (<=6 colors + n_proc + trans)
+NPROC_CH = 6
+TRANS_CH = 7
 TRANS_EPS = 1e-4
 MAX_ALPHA = 0.99
 MIN_ALPHA = 1.0 / 255.0
@@ -41,9 +50,7 @@ def _kernel(
     counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
     tiles_x_ref,  # SMEM (1,) int32 — scalar prefetch
     params_hbm,  # ANY (num_tiles, F, K)
-    acc_ref,  # VMEM out (1, P, CH_PAD)
-    trans_ref,  # VMEM out (1, P)
-    n_proc_ref,  # VMEM out (1, 1) int32: chunks processed (early exit point)
+    out_ref,  # VMEM out (1, P, CH_PAD)
     scratch,  # VMEM (2, F, C)
     sems,  # DMA semaphores (2,)
 ):
@@ -52,12 +59,12 @@ def _kernel(
     tiles_x = tiles_x_ref[0]
     n_chunks = pl.cdiv(count, C)
 
-    # Pixel coordinates of this tile, laid out (P,) -> computed as (C?, no)
-    # (1, P) row vectors so broadcasts against (C, P) chunk arrays.
+    # Pixel coordinates of this tile as (1, P) rows, broadcasting against
+    # (C, P) chunk arrays.
     tile_x0 = ((t % tiles_x) * TILE).astype(jnp.float32)
     tile_y0 = ((t // tiles_x) * TILE).astype(jnp.float32)
     within = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = tile_x0 + (within % TILE).astype(jnp.float32)  # (1, P)
+    px = tile_x0 + (within % TILE).astype(jnp.float32)
     py = tile_y0 + (within // TILE).astype(jnp.float32)
 
     # Strictly-lower-triangular ones for the in-chunk exclusive prefix sum.
@@ -110,7 +117,7 @@ def _kernel(
         t_before = trans * jnp.exp(excl)  # trans is (1, P)
         weight = alpha * t_before  # (C, P)
 
-        colors = chunk[6 : 6 + CH_PAD, :]  # (CH_PAD, C)
+        colors = chunk[6 : 6 + CH_PAD, :]  # (CH_PAD, C); rows 12-13 are zero
         acc = acc + jnp.dot(
             colors, weight, preferred_element_type=jnp.float32
         )  # (CH_PAD, P)
@@ -121,9 +128,18 @@ def _kernel(
     acc0 = jnp.zeros((CH_PAD, P), jnp.float32)
     n_done, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
 
-    acc_ref[0] = acc.T  # (P, CH_PAD)
-    trans_ref[0] = trans[0]
-    n_proc_ref[0, 0] = n_done
+    # On early exit the body already prefetched chunk n_done; drain it so
+    # no DMA is left in flight at kernel teardown.
+    @pl.when(jnp.logical_and(n_done > 0, n_done < n_chunks))
+    def _():
+        get_dma(n_done % 2, n_done).wait()
+
+    # Stash n_proc / trans into the spare channels (scatter is not a TPU
+    # Pallas primitive, so use iota masks).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CH_PAD, P), 0)
+    acc = jnp.where(rows == NPROC_CH, n_done.astype(jnp.float32), acc)
+    acc = jnp.where(rows == TRANS_CH, trans, acc)
+    out_ref[0] = acc.T  # (P, CH_PAD)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "interpret"))
@@ -132,7 +148,7 @@ def pallas_composite_core(
     counts: jax.Array,  # (num_tiles,) int32
     tiles_x: int,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (acc (T, P, CH_PAD), trans (T, P), n_processed (T,))."""
     num_tiles, f, kpad = params_t.shape
     assert f == F and kpad % C == 0
@@ -141,27 +157,24 @@ def pallas_composite_core(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(
-            pl.BlockSpec((1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, F, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    acc, trans, n_proc = pl.pallas_call(
+    packed = pl.pallas_call(
         _kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, P, CH_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, P), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, P, CH_PAD), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(counts, jnp.asarray([tiles_x], jnp.int32), params_t)
-    return acc, trans, n_proc[:, 0]
+    trans = packed[:, :, TRANS_CH]
+    n_proc = packed[:, 0, NPROC_CH].astype(jnp.int32)
+    acc = packed.at[:, :, NPROC_CH].set(0.0).at[:, :, TRANS_CH].set(0.0)
+    return acc, trans, n_proc

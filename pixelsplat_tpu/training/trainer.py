@@ -132,27 +132,85 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validation_step(self, state: TrainState, batch: dict, step: int) -> dict:
-        """Probabilistic vs deterministic render + metrics (reference
-        model_wrapper.py:201-309)."""
+        """Probabilistic vs deterministic render + metrics + comparison grid
+        (reference model_wrapper.py:201-309); extended mode adds 3-axis
+        Gaussian projections, camera diagrams and trajectory videos."""
+        from ..visualization.annotation import add_label
+        from ..visualization.layout import add_border, hcat, vcat
+
         arrays = _to_jax(_strip_non_arrays(batch))
-        render_fn = self.wrapper.make_eval_render()
-        color_det = render_fn(state.params, arrays, state.step)
         target = arrays["target"]["image"]
         b, v, c, h, w = target.shape
+        encode = self.wrapper.make_eval_encode()
+
+        variants = {}
+        for name, deterministic in [("probabilistic", False), ("deterministic", True)]:
+            gaussians = encode(
+                state.params,
+                arrays,
+                deterministic,
+                state.step,
+                jax.random.PRNGKey(step),
+            )
+            out = self.wrapper.decoder(
+                gaussians,
+                arrays["target"]["extrinsics"],
+                arrays["target"]["intrinsics"],
+                arrays["target"]["near"],
+                arrays["target"]["far"],
+                (h, w),
+            )
+            variants[name] = (gaussians, out.color)
+
         metrics = {}
         flat_gt = target.reshape(b * v, c, h, w)
-        flat_det = color_det.reshape(b * v, c, h, w)
-        metrics["val/psnr_deterministic"] = float(
-            compute_psnr(flat_gt, flat_det).mean()
-        )
-        metrics["val/ssim_deterministic"] = float(
-            compute_ssim(flat_gt, flat_det).mean()
-        )
+        for name, (_, color) in variants.items():
+            flat = color.reshape(b * v, c, h, w)
+            metrics[f"val/psnr_{name}"] = float(compute_psnr(flat_gt, flat).mean())
+            metrics[f"val/ssim_{name}"] = float(compute_ssim(flat_gt, flat).mean())
         self.logger.log_metrics(metrics, step=step)
-        comparison = np.concatenate(
-            [np.asarray(flat_gt[0]), np.asarray(flat_det[0])], axis=-1
+
+        # Comparison grid: context views | GT | probabilistic | deterministic.
+        context_row = hcat(
+            *[np.asarray(arrays["context"]["image"][0, i]) for i in
+              range(arrays["context"]["image"].shape[1])]
         )
-        self.logger.log_image("comparison", comparison, step=step)
+        rows = [add_label(context_row, "Context")]
+        rows.append(
+            add_label(hcat(*[np.asarray(target[0, i]) for i in range(v)]), "Target (GT)")
+        )
+        for name, (_, color) in variants.items():
+            rows.append(
+                add_label(
+                    hcat(*[np.asarray(color[0, i]) for i in range(v)]),
+                    f"Target ({name})",
+                )
+            )
+        self.logger.log_image("comparison", add_border(vcat(*rows)), step=step)
+
+        if self.wrapper.train_cfg.extended_visualization:
+            try:
+                from ..visualization.validation_in_3d import (
+                    render_cameras,
+                    render_projections,
+                )
+
+                gaussians, _ = variants["deterministic"]
+                projections = render_projections(gaussians, 256)
+                self.logger.log_image(
+                    "projections",
+                    add_border(hcat(*[np.asarray(projections[0, i]) for i in range(3)])),
+                    step=step,
+                )
+                cams = render_cameras(arrays, 256)
+                self.logger.log_image(
+                    "cameras", np.asarray(cams[0]), step=step
+                )
+                self.render_video_wobble(state, batch, step)
+                self.render_video_interpolation(state, batch, step)
+            except Exception as exc:  # visualization must never kill training
+                print(f"extended visualization failed: {exc}")
+
         print("validation;", "; ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
         return metrics
 

@@ -28,6 +28,10 @@ while True:
     buf = io.StringIO()
     t0 = time.time()
     try:
+        # Reload repo modules so jobs always see the current source (jax
+        # and its compile caches stay warm).
+        for name in [m for m in sys.modules if m.startswith("pixelsplat_tpu")]:
+            del sys.modules[name]
         code = job.read_text()
         with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
             glb = {"SHARED": SHARED, "__name__": "__tpu_job__"}
@@ -41,3 +45,8 @@ while True:
     (JOBS / (job.stem + ".done")).write_text(status)
     (JOBS / (job.stem + ".running")).unlink(missing_ok=True)
     print(f"job {job.stem}: {status} {time.time()-t0:.1f}s", flush=True)
+    if "TPU backend error" in out:
+        # The runtime is poisoned after an internal error; restart the
+        # process (the launcher loop brings us back).
+        print("worker: TPU runtime poisoned; exiting for restart", flush=True)
+        sys.exit(3)
