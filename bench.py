@@ -13,7 +13,27 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+# The axon TPU tunnel admits one client; a lingering claim from a previous
+# process makes backend init fail. Re-exec to retry with a fresh process.
+def _ensure_tpu(max_attempts: int = 10) -> None:
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        attempt = int(os.environ.get("_BENCH_TPU_ATTEMPT", "0"))
+        if attempt >= max_attempts:
+            raise
+        os.environ["_BENCH_TPU_ATTEMPT"] = str(attempt + 1)
+        time.sleep(75)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+_ensure_tpu()
 
 import jax
 import jax.numpy as jnp
