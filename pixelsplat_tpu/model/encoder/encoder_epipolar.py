@@ -76,6 +76,9 @@ class EncoderEpipolar(nn.Module):
         deterministic: bool = False,
         visualization_dump: Optional[dict] = None,
     ) -> Gaussians:
+        from ...utils.shape_checks import check_context
+
+        check_context(context)
         cfg = self.cfg
         image = context["image"]  # (b, v, 3, h, w)
         b, v, _, h, w = image.shape

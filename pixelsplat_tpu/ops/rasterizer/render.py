@@ -121,6 +121,20 @@ def render(
     and cameras; integer binning decisions are non-differentiable by
     construction (as in the reference backward).
     """
+    import chex
+
+    from ...utils.shape_checks import check_cameras, check_gaussians
+
+    check_cameras(extrinsics, intrinsics, near, far, batch_dims=1)
+    if use_sh:
+        check_gaussians(
+            gaussian_means,
+            gaussian_covariances,
+            gaussian_sh_coefficients,
+            gaussian_opacities,
+        )
+    else:
+        chex.assert_rank(gaussian_sh_coefficients, 3)  # (b, g, channels)
     fn = partial(
         _render_single,
         image_shape=image_shape,

@@ -220,10 +220,7 @@ class Trainer:
         model_wrapper.py:311-335)."""
         import numpy as np
 
-        from ..visualization.camera_trajectory.wobble import (
-            generate_wobble,
-            generate_wobble_transformation,
-        )
+        from ..visualization.camera_trajectory.wobble import generate_wobble
 
         extr = np.asarray(batch["context"]["extrinsics"][0])
         intr = np.asarray(batch["context"]["intrinsics"][0])

@@ -12,6 +12,10 @@ from pathlib import Path
 JOBS = Path("/tmp/tpu_jobs")
 JOBS.mkdir(exist_ok=True)
 
+# Clear stale markers from a previous (crashed) worker incarnation.
+for stale in JOBS.glob("*.running"):
+    stale.unlink()
+
 import jax
 print("worker up:", jax.devices(), flush=True)
 (JOBS / "WORKER_READY").write_text("ok")
