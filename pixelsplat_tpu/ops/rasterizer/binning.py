@@ -101,9 +101,10 @@ def bin_gaussians(
     if big_capacity > 0:
         # 5. Global "big Gaussian" list: the first big_capacity big ones in
         # depth order, merged into every tile then re-sorted by depth rank.
+        # (sort+slice: XLA's top_k lowers to an 11 ms negate-reduce at this
+        # size; a plain sort is ~10x cheaper.)
         big_key = jnp.where(big, rank, g)
-        neg_topk, _ = jax.lax.top_k(-big_key, big_capacity)
-        big_ranks = (-neg_topk).astype(jnp.int32)  # ascending depth rank
+        big_ranks = jnp.sort(big_key)[:big_capacity].astype(jnp.int32)
         big_valid = big_ranks < g
         big_overflow = jnp.maximum(big.sum() - big_capacity, 0)
         overflow = overflow + big_overflow

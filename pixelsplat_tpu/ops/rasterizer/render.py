@@ -39,8 +39,8 @@ class RenderSettings:
     capacity: int = 4096
     # Max tile span (per axis) binned per Gaussian; larger footprints go to
     # the global big list.
-    span: int = 3
-    big_capacity: int = 128
+    span: int = 2
+    big_capacity: int = 256
     # Depth-chunk size of the compositing scan.
     chunk: int = 128
 

@@ -291,7 +291,15 @@ class Trainer:
         out_dir = Path(self.wrapper.test_cfg.output_path)
         name = "pixelsplat_tpu"
 
-        all_metrics: dict[str, list[float]] = {"psnr": [], "ssim": []}
+        from ..evaluation.lpips import compute_lpips, get_lpips_params
+
+        lpips_params, lpips_pretrained = get_lpips_params()
+        if not lpips_pretrained:
+            print(
+                "WARNING: LPIPS weights not found; test LPIPS uses random "
+                "weights and is not comparable to published numbers."
+            )
+        all_metrics: dict[str, list[float]] = {"psnr": [], "ssim": [], "lpips": []}
         count = 0
         for batch in self.data_module.test_dataloader():
             scene = batch["scene"][0]
@@ -322,6 +330,13 @@ class Trainer:
             )
             all_metrics["ssim"].append(
                 float(compute_ssim(jnp.asarray(gt), jnp.asarray(color)).mean())
+            )
+            all_metrics["lpips"].append(
+                float(
+                    compute_lpips(
+                        jnp.asarray(gt), jnp.asarray(color), lpips_params
+                    ).mean()
+                )
             )
 
             from PIL import Image
