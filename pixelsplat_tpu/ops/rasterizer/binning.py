@@ -31,10 +31,10 @@ from .projection import ProjectedGaussians
 
 
 class TileLists(NamedTuple):
-    # Indices into the depth-sorted Gaussian arrays; (num_tiles, capacity).
-    indices: jax.Array
+    # Original Gaussian ids per tile in front-to-back order; invalid slots
+    # hold the sentinel id `g` (one past the last Gaussian).
+    indices: jax.Array  # (num_tiles, capacity) int32
     valid: jax.Array  # (num_tiles, capacity) bool
-    order: jax.Array  # (g,) depth-sort permutation of the input Gaussians
     # Number of (gaussian, tile) pairs dropped due to capacity overflow —
     # diagnostics for choosing `capacity`.
     overflow: jax.Array
@@ -56,12 +56,23 @@ def bin_gaussians(
     big_capacity = min(big_capacity, g)
     capacity = min(capacity, g * span * span)
 
-    # 1. Depth sort (invalid to the end).
+    # 1. Depth sort (invalid to the end). Pack the bbox inputs into one
+    # matrix first so the depth permutation is a single row gather (per-
+    # column gathers dominated the old profile).
     sort_key = jnp.where(projected.valid, projected.depth, jnp.inf)
     order = jnp.argsort(sort_key)
-    mean2d = projected.mean2d[order]
-    radius = projected.radius[order]
-    valid = projected.valid[order]
+    packed = jnp.stack(
+        [
+            projected.mean2d[:, 0],
+            projected.mean2d[:, 1],
+            projected.radius,
+            projected.valid.astype(projected.mean2d.dtype),
+        ],
+        axis=-1,
+    )[order]
+    mean2d = packed[:, :2]
+    radius = packed[:, 2]
+    valid = packed[:, 3] > 0.5
 
     # 2. Tile bbox per (sorted) Gaussian.
     x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, tiles_x - 1)
@@ -125,9 +136,15 @@ def bin_gaussians(
         tile_ranks = sorted_ranks
         tile_valid = sorted_keys < g
 
+    # Convert depth-order ranks back to original Gaussian ids; invalid
+    # slots get the sentinel id `g` so downstream gathers hit a zero row.
+    order_with_sentinel = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.asarray([g], jnp.int32)]
+    )
+    gids = order_with_sentinel[jnp.where(tile_valid, tile_ranks, g)]
+
     return TileLists(
-        indices=tile_ranks,
+        indices=gids,
         valid=tile_valid,
-        order=order,
         overflow=overflow,
     )

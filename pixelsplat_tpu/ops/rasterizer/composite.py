@@ -40,32 +40,33 @@ def build_tile_params(
 ) -> tuple[jax.Array, jax.Array]:
     """Gather per-tile, depth-ordered parameters into (T, F, Kpad).
 
-    Differentiable w.r.t. the projected Gaussian arrays (the gather's
-    backward is a scatter-add, as in the CUDA backward's atomics).
+    All parameter columns are packed into one (g+1, F) matrix first (the
+    last row is the zero sentinel invalid list slots point to), so the
+    whole per-tile assembly is a single row gather — per-column gathers
+    were ~45 ms/frame at production scale. Differentiable w.r.t. the
+    projected Gaussian arrays (the gather's backward is a scatter-add,
+    as in the CUDA backward's atomics).
     """
-    mean2d = projected.mean2d[tiles.order]
-    conic = projected.conic[tiles.order]
-    color = projected.color[tiles.order]
-    opacity = projected.opacity[tiles.order]
-    valid = projected.valid[tiles.order]
-
-    idx = tiles.indices  # (T, K)
-    ok = tiles.valid & valid[idx]
-    m = mean2d[idx]  # (T, K, 2)
-    cn = conic[idx]  # (T, K, 3)
-    cl = color[idx]  # (T, K, ch)
-    op = jnp.where(ok, opacity[idx], 0.0)  # (T, K)
-
-    ch = cl.shape[-1]
+    ch = projected.color.shape[-1]
     assert ch <= 6  # channels 6-7 carry n_proc + transmittance
-    t_, k_ = op.shape
-    rows = [m[..., 0], m[..., 1], cn[..., 0], cn[..., 1], cn[..., 2], op]
-    rows += [cl[..., i] for i in range(ch)]
-    params = jnp.stack(rows, axis=1)  # (T, rows, K)
-    pad_rows = F - params.shape[1]
-    pad_k = (-k_) % chunk
-    params = jnp.pad(params, ((0, 0), (0, pad_rows), (0, pad_k)))
-    counts = ok.sum(axis=1).astype(jnp.int32)
+    op = jnp.where(projected.valid, projected.opacity, 0.0)
+    cols = [
+        projected.mean2d[:, 0],
+        projected.mean2d[:, 1],
+        projected.conic[:, 0],
+        projected.conic[:, 1],
+        projected.conic[:, 2],
+        op,
+    ]
+    cols += [projected.color[:, i] for i in range(ch)]
+    packed = jnp.stack(cols, axis=-1)  # (g, 6+ch)
+    packed = jnp.pad(packed, ((0, 1), (0, F - packed.shape[-1])))  # (g+1, F)
+
+    rows = packed[tiles.indices]  # (T, K, F) — one gather
+    params = rows.transpose(0, 2, 1)  # (T, F, K)
+    k_ = params.shape[-1]
+    params = jnp.pad(params, ((0, 0), (0, 0), (0, (-k_) % chunk)))
+    counts = (tiles.indices < projected.depth.shape[0]).sum(axis=1).astype(jnp.int32)
     return params, counts
 
 
