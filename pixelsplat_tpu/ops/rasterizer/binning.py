@@ -85,9 +85,11 @@ def bin_gaussians(
     small = valid & (span_x <= span) & (span_y <= span)
     big = valid & ~small
 
-    # 3. Emit packed pair keys for small Gaussians.
+    # 3. Emit packed pair keys (tile-major, depth rank in the low bits) for
+    # small Gaussians, with the original Gaussian id as sort payload.
     key_dtype = jnp.int32 if (num_tiles + 1) * g < 2**31 else jnp.int64
     rank = jnp.arange(g, dtype=key_dtype)
+    gid = order.astype(jnp.int32)  # original id of each depth-sorted slot
     sentinel = jnp.asarray(num_tiles, key_dtype) * g  # sorts after all real keys
     keys = []
     for slot in range(span * span):
@@ -97,16 +99,30 @@ def bin_gaussians(
         slot_ok = small & (dx < span_x) & (dy < span_y)
         tile_id = (ty * tiles_x + tx).astype(key_dtype)
         keys.append(jnp.where(slot_ok, tile_id * g + rank, sentinel))
-    keys = jnp.sort(jnp.concatenate(keys))
+    keys = jnp.concatenate(keys)
+    payload = jnp.tile(gid, span * span)
+    keys, payload = jax.lax.sort((keys, payload), num_keys=1)
 
-    # 4. Per-tile segments + fixed-capacity gather.
+    # 4. Per-tile segments + fixed-capacity assembly. The positions are
+    # contiguous per tile, so the assembly is per-tile DMA (segment_gather)
+    # rather than a generic 1M-element gather.
+    from .segment_gather import segment_gather
+
     starts = jnp.searchsorted(keys, jnp.arange(num_tiles, dtype=key_dtype) * g)
     ends = jnp.searchsorted(keys, (jnp.arange(num_tiles, dtype=key_dtype) + 1) * g)
-    counts = ends - starts
-    k_range = jnp.arange(capacity, dtype=key_dtype)
-    gather_pos = jnp.clip(starts[:, None] + k_range[None, :], 0, keys.shape[0] - 1)
-    tile_ranks = (keys[gather_pos] % g).astype(jnp.int32)
+    counts = (ends - starts).astype(jnp.int32)
+    starts32 = starts.astype(jnp.int32)
+    pad_payload = jnp.concatenate([payload, jnp.full((capacity,), g, jnp.int32)])
+    pad_keys = jnp.concatenate(
+        [keys, jnp.full((capacity,), sentinel, key_dtype)]
+    )
+    interpret = jax.default_backend() == "cpu"
+    tile_gids = segment_gather(pad_payload, starts32, capacity, interpret=interpret)
+    tile_keys = segment_gather(pad_keys, starts32, capacity, interpret=interpret)
+    tile_ranks = (tile_keys % g).astype(jnp.int32)
+    k_range = jnp.arange(capacity, dtype=jnp.int32)
     tile_valid = k_range[None, :] < jnp.minimum(counts, capacity)[:, None]
+    tile_gids = jnp.where(tile_valid, tile_gids, g)
     overflow = jnp.maximum(counts - capacity, 0).sum()
 
     if big_capacity > 0:
@@ -117,34 +133,36 @@ def bin_gaussians(
         big_key = jnp.where(big, rank, g)
         big_ranks = jnp.sort(big_key)[:big_capacity].astype(jnp.int32)
         big_valid = big_ranks < g
+        big_gids = jnp.where(
+            big_valid,
+            jnp.concatenate([gid, jnp.asarray([g], jnp.int32)])[big_ranks],
+            g,
+        )
         big_overflow = jnp.maximum(big.sum() - big_capacity, 0)
         overflow = overflow + big_overflow
 
-        merged_ranks = jnp.concatenate(
-            [tile_ranks, jnp.broadcast_to(big_ranks, (num_tiles, big_capacity))],
+        merge_rank = jnp.concatenate(
+            [
+                jnp.where(tile_valid, tile_ranks, g),
+                jnp.broadcast_to(
+                    jnp.where(big_valid, big_ranks, g), (num_tiles, big_capacity)
+                ),
+            ],
             axis=1,
         )
-        merged_valid = jnp.concatenate(
-            [tile_valid, jnp.broadcast_to(big_valid, (num_tiles, big_capacity))],
+        merge_gid = jnp.concatenate(
+            [tile_gids, jnp.broadcast_to(big_gids, (num_tiles, big_capacity))],
             axis=1,
         )
         # Sort each tile's merged list by depth rank (invalid → end).
-        merge_keys = jnp.where(merged_valid, merged_ranks, g)
-        sorted_keys, sorted_ranks = jax.lax.sort(
-            (merge_keys, merged_ranks), dimension=1, num_keys=1
+        sorted_rank, sorted_gid = jax.lax.sort(
+            (merge_rank, merge_gid), dimension=1, num_keys=1
         )
-        tile_ranks = sorted_ranks
-        tile_valid = sorted_keys < g
-
-    # Convert depth-order ranks back to original Gaussian ids; invalid
-    # slots get the sentinel id `g` so downstream gathers hit a zero row.
-    order_with_sentinel = jnp.concatenate(
-        [order.astype(jnp.int32), jnp.asarray([g], jnp.int32)]
-    )
-    gids = order_with_sentinel[jnp.where(tile_valid, tile_ranks, g)]
+        tile_gids = sorted_gid
+        tile_valid = sorted_rank < g
 
     return TileLists(
-        indices=gids,
+        indices=tile_gids,
         valid=tile_valid,
         overflow=overflow,
     )

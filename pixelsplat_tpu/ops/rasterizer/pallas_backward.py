@@ -186,7 +186,6 @@ def _bwd_kernel(
     jax.lax.fori_loop(n_proc, total_chunks, zero_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_x", "interpret"))
 def pallas_composite_bwd(
     params_t: jax.Array,  # (T, F, Kpad)
     n_proc: jax.Array,  # (T,) chunks processed by the forward

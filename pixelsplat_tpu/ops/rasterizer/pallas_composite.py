@@ -142,7 +142,6 @@ def _kernel(
     out_ref[0] = acc.T  # (P, CH_PAD)
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_x", "interpret"))
 def pallas_composite_core(
     params_t: jax.Array,  # (num_tiles, F, Kpad) float32, Kpad % 128 == 0
     counts: jax.Array,  # (num_tiles,) int32

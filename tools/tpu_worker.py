@@ -21,12 +21,19 @@ print("worker up:", jax.devices(), flush=True)
 (JOBS / "WORKER_READY").write_text("ok")
 
 SHARED: dict = {}
+IDLE_EXIT_SECS = 1200  # release the TPU claim if no jobs arrive
+last_activity = time.time()
 
 while True:
     pys = sorted(p for p in JOBS.glob("*.py") if not (JOBS / (p.stem + ".done")).exists() and not (JOBS / (p.stem + ".running")).exists())
     if not pys:
+        if time.time() - last_activity > IDLE_EXIT_SECS:
+            print("worker: idle timeout; releasing the TPU", flush=True)
+            (JOBS / "WORKER_READY").unlink(missing_ok=True)
+            sys.exit(0)
         time.sleep(2)
         continue
+    last_activity = time.time()
     job = pys[0]
     (JOBS / (job.stem + ".running")).write_text("")
     buf = io.StringIO()
