@@ -77,20 +77,18 @@ def main() -> None:
     n = 20
 
     @jax.jit
-    def many(e, k, nr, f, bg, m, c, s, o):
-        def body(i, acc):
-            img = render(
-                e, k, nr, f + i * 0.0, (256, 256), bg, m, c, s, o, settings=settings
-            )
-            return acc + img[0, 0, 0, 0]
+    def one(e, k, nr, f, bg, m, c, s, o):
+        img = render(e, k, nr, f, (256, 256), bg, m, c, s, o, settings=settings)
+        return img[0, 0, 0, 0]
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-    # Warm up / compile, then time with a single host sync (the axon tunnel
-    # makes block_until_ready a no-op; np.asarray is the only real sync).
-    np.asarray(many(*args))
+    # Warm up / compile, then time n async dispatches with a single host
+    # sync at the end (the axon tunnel makes block_until_ready a no-op;
+    # np.asarray is the only real sync). Device queues are FIFO, so waiting
+    # on the last result bounds all n executions.
+    np.asarray(one(*args))
     t0 = time.perf_counter()
-    np.asarray(many(*args))
+    results = [one(*args) for _ in range(n)]
+    np.asarray(results[-1])
     dt = time.perf_counter() - t0
 
     # Subtract the host-transfer floor measured with a trivial program.

@@ -103,24 +103,22 @@ def bin_gaussians(
     payload = jnp.tile(gid, span * span)
     keys, payload = jax.lax.sort((keys, payload), num_keys=1)
 
-    # 4. Per-tile segments + fixed-capacity assembly. The positions are
-    # contiguous per tile, so the assembly is per-tile DMA (segment_gather)
-    # rather than a generic 1M-element gather.
-    from .segment_gather import segment_gather
-
+    # 4. Per-tile segments + fixed-capacity assembly. The key and the
+    # payload (gid) ride the same positions, so one fused gather recovers
+    # both (keys for depth-rank merge ordering, gids for the param lookup).
     starts = jnp.searchsorted(keys, jnp.arange(num_tiles, dtype=key_dtype) * g)
     ends = jnp.searchsorted(keys, (jnp.arange(num_tiles, dtype=key_dtype) + 1) * g)
     counts = (ends - starts).astype(jnp.int32)
-    starts32 = starts.astype(jnp.int32)
-    pad_payload = jnp.concatenate([payload, jnp.full((capacity,), g, jnp.int32)])
-    pad_keys = jnp.concatenate(
-        [keys, jnp.full((capacity,), sentinel, key_dtype)]
-    )
-    interpret = jax.default_backend() == "cpu"
-    tile_gids = segment_gather(pad_payload, starts32, capacity, interpret=interpret)
-    tile_keys = segment_gather(pad_keys, starts32, capacity, interpret=interpret)
-    tile_ranks = (tile_keys % g).astype(jnp.int32)
     k_range = jnp.arange(capacity, dtype=jnp.int32)
+    gather_pos = jnp.clip(
+        starts.astype(jnp.int32)[:, None] + k_range[None, :], 0, keys.shape[0] - 1
+    )
+    packed_kv = jnp.stack(
+        [(keys % g).astype(jnp.int32), payload], axis=-1
+    )  # (n, 2)
+    got = packed_kv[gather_pos]  # (T, K, 2) — one gather
+    tile_ranks = got[..., 0]
+    tile_gids = got[..., 1]
     tile_valid = k_range[None, :] < jnp.minimum(counts, capacity)[:, None]
     tile_gids = jnp.where(tile_valid, tile_gids, g)
     overflow = jnp.maximum(counts - capacity, 0).sum()

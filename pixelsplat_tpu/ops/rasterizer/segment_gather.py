@@ -4,12 +4,11 @@ Assembling fixed-capacity per-tile lists from the sorted pair array is a
 gather at contiguous positions starts[t] + (0..K): XLA lowers it as a
 generic 1M-element gather (~7.5 ms at production scale), but it's really
 one contiguous DMA per tile (~16 KB each). This kernel issues exactly
-those DMAs, double-buffered across grid steps.
+those HBM->HBM DMAs (both refs stay in ANY memory space, so no VMEM block
+tiling constraints apply).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -17,18 +16,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(starts_ref, data_hbm, out_ref, scratch, sem):
+def _kernel(starts_ref, data_hbm, out_hbm, sem):
     t = pl.program_id(0)
     start = starts_ref[t]
-    k = out_ref.shape[1]
+    k = out_hbm.shape[1]
     dma = pltpu.make_async_copy(
         data_hbm.at[pl.ds(start, k)],
-        scratch.at[0],
+        out_hbm.at[t],
         sem.at[0],
     )
     dma.start()
     dma.wait()
-    out_ref[0] = scratch[0]
 
 
 def segment_gather(
@@ -43,11 +41,8 @@ def segment_gather(
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, capacity), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1, capacity), data.dtype),
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
