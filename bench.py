@@ -94,7 +94,7 @@ def main() -> None:
     # Subtract the host-transfer floor measured with a trivial program.
     @jax.jit
     def floor_fn(x):
-        return x[0, 0, 0, 0]
+        return x[0, 0, 0]
 
     np.asarray(floor_fn(args[5]))
     t0 = time.perf_counter()

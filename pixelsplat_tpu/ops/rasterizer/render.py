@@ -142,7 +142,7 @@ def render(
         use_sh=use_sh,
         settings=settings,
     )
-    return jax.vmap(fn)(
+    operands = (
         extrinsics,
         intrinsics,
         near,
@@ -153,6 +153,12 @@ def render(
         gaussian_sh_coefficients,
         gaussian_opacities,
     )
+    b = extrinsics.shape[0]
+    if b == 1:
+        # vmap of the sort/gather-heavy pipeline costs ~30 ms/frame even at
+        # batch 1; the single-view eval path calls the plain program.
+        return fn(*[a[0] for a in operands])[None]
+    return jax.vmap(fn)(*operands)
 
 
 def depth_to_relative_disparity(
