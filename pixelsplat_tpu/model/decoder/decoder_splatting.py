@@ -50,67 +50,77 @@ class DecoderSplatting:
         image_shape: tuple[int, int],
         depth_mode: Optional[DepthRenderingMode] = None,
     ) -> DecoderOutput:
-        def render_one_view(e, k, n, f, means, covs, sh, op):
-            color = render(
-                e[None],
-                k[None],
-                n[None],
-                f[None],
-                image_shape,
-                self.background_color[None],
-                means[None],
-                covs[None],
-                sh[None],
-                op[None],
-                settings=self.cfg.render,
-            )[0]
-            return color
+        # Sequential maps instead of vmap: batching the sort/gather-heavy
+        # rasterizer costs ~1.6x per view on TPU, and the Gaussians stay
+        # broadcast (closed over) rather than copied per view.
+        def render_batch_element(element):
+            e_v, k_v, n_v, f_v, means, covs, sh, op = element
 
-        # vmap over target views with the Gaussians broadcast (not copied),
-        # then over the batch with the Gaussians mapped.
-        over_views = jax.vmap(
-            render_one_view, in_axes=(0, 0, 0, 0, None, None, None, None)
-        )
-        over_batch = jax.vmap(over_views, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
-        color = over_batch(
-            extrinsics,
-            intrinsics,
-            near,
-            far,
-            gaussians.means,
-            gaussians.covariances,
-            gaussians.harmonics,
-            gaussians.opacities,
-        )
-
-        depth = None
-        if depth_mode is not None:
-            def depth_one_view(e, k, n, f, means, covs, op):
-                return render_depth(
+            def render_one_view(cam):
+                e, k, n, f = cam
+                return render(
                     e[None],
                     k[None],
                     n[None],
                     f[None],
                     image_shape,
+                    self.background_color[None],
                     means[None],
                     covs[None],
+                    sh[None],
                     op[None],
-                    mode=depth_mode,
                     settings=self.cfg.render,
                 )[0]
 
-            over_views_d = jax.vmap(
-                depth_one_view, in_axes=(0, 0, 0, 0, None, None, None)
-            )
-            over_batch_d = jax.vmap(over_views_d, in_axes=(0, 0, 0, 0, 0, 0, 0))
-            depth = over_batch_d(
+            return jax.lax.map(render_one_view, (e_v, k_v, n_v, f_v))
+
+        color = jax.lax.map(
+            render_batch_element,
+            (
                 extrinsics,
                 intrinsics,
                 near,
                 far,
                 gaussians.means,
                 gaussians.covariances,
+                gaussians.harmonics,
                 gaussians.opacities,
+            ),
+        )
+
+        depth = None
+        if depth_mode is not None:
+            def depth_batch_element(element):
+                e_v, k_v, n_v, f_v, means, covs, op = element
+
+                def depth_one_view(cam):
+                    e, k, n, f = cam
+                    return render_depth(
+                        e[None],
+                        k[None],
+                        n[None],
+                        f[None],
+                        image_shape,
+                        means[None],
+                        covs[None],
+                        op[None],
+                        mode=depth_mode,
+                        settings=self.cfg.render,
+                    )[0]
+
+                return jax.lax.map(depth_one_view, (e_v, k_v, n_v, f_v))
+
+            depth = jax.lax.map(
+                depth_batch_element,
+                (
+                    extrinsics,
+                    intrinsics,
+                    near,
+                    far,
+                    gaussians.means,
+                    gaussians.covariances,
+                    gaussians.opacities,
+                ),
             )
 
         return DecoderOutput(color=color, depth=depth)
