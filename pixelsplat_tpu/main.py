@@ -70,8 +70,10 @@ def main(argv: list[str]) -> None:
     elif cfg.mode == "test":
         assert cfg.checkpointing.load is not None, "mode=test needs checkpointing.load"
         from .training.checkpoint import load_checkpoint
+        from .utils.wandb_tools import update_checkpoint_path
 
-        state = load_checkpoint(Path(cfg.checkpointing.load))
+        ckpt = update_checkpoint_path(cfg.checkpointing.load, cfg.wandb)
+        state = load_checkpoint(Path(ckpt))
         trainer.test(state)
     else:
         raise ValueError(f"Unknown mode {cfg.mode!r}")

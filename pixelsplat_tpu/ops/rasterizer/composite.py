@@ -49,6 +49,7 @@ def build_tile_params(
     """
     ch = projected.color.shape[-1]
     assert ch <= 6  # channels 6-7 carry n_proc + transmittance
+    g = projected.depth.shape[0]
     op = jnp.where(projected.valid, projected.opacity, 0.0)
     cols = [
         projected.mean2d[:, 0],
@@ -66,7 +67,7 @@ def build_tile_params(
     params = rows.transpose(0, 2, 1)  # (T, F, K)
     k_ = params.shape[-1]
     params = jnp.pad(params, ((0, 0), (0, 0), (0, (-k_) % chunk)))
-    counts = (tiles.indices < projected.depth.shape[0]).sum(axis=1).astype(jnp.int32)
+    counts = (tiles.indices < g).sum(axis=1).astype(jnp.int32)
     return params, counts
 
 
