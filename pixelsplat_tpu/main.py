@@ -15,7 +15,7 @@ import jax
 from .config import RootCfg, load_config
 from .dataset.data_module import DataModule
 from .loss import get_losses
-from .model.decoder.decoder_splatting import DecoderSplatting
+from .model.decoder import get_decoder
 from .training.checkpoint import latest_checkpoint
 from .training.model_wrapper import ModelWrapper
 from .training.trainer import Trainer
@@ -32,7 +32,7 @@ def build_everything(cfg: RootCfg):
     data_module = DataModule(
         cfg.dataset, cfg.data_loader, step_tracker=step_tracker, global_rank=0
     )
-    decoder = DecoderSplatting(cfg.model.decoder)
+    decoder = get_decoder(cfg.model.decoder)
     losses = get_losses(list(cfg.loss))
     wrapper = ModelWrapper(
         cfg.optimizer,

@@ -39,6 +39,7 @@ class ViTBlock(nn.Module):
     dim: int
     heads: int
     mlp_ratio: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -46,13 +47,14 @@ class ViTBlock(nn.Module):
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             qkv_features=self.dim,
+            dtype=self.dtype,
             name="attn",
         )(y, y)
         x = x + y
         y = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(self.dim * self.mlp_ratio, name="mlp_fc1")(y)
+        y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y)
-        y = nn.Dense(self.dim, name="mlp_fc2")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
 
@@ -65,6 +67,7 @@ class DinoViT(nn.Module):
     heads: int
     # Positional-embedding grid the checkpoint was trained with (224/patch).
     pos_grid: int = 28
+    dtype: object = None
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -76,6 +79,7 @@ class DinoViT(nn.Module):
             kernel_size=(self.patch, self.patch),
             strides=(self.patch, self.patch),
             padding="VALID",
+            dtype=self.dtype,
             name="patch_embed",
         )(x)
         gh, gw = x.shape[1], x.shape[2]
@@ -100,12 +104,13 @@ class DinoViT(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
 
         for i in range(self.depth):
-            x = ViTBlock(self.dim, self.heads, name=f"block{i}")(x)
+            x = ViTBlock(self.dim, self.heads, dtype=self.dtype, name=f"block{i}")(x)
         return nn.LayerNorm(name="norm")(x)
 
 
 class BackboneDino(nn.Module):
     cfg: BackboneDinoCfg
+    dtype: object = None
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -118,6 +123,7 @@ class BackboneDino(nn.Module):
 
         resnet_features = BackboneResnet(
             BackboneResnetCfg("resnet", "dino_resnet50", 4, False, cfg.d_out),
+            dtype=self.dtype,
             name="resnet_backbone",
         )(images)
 
@@ -126,13 +132,14 @@ class BackboneDino(nn.Module):
             dim=spec["dim"],
             depth=spec["depth"],
             heads=spec["heads"],
+            dtype=self.dtype,
             name="dino",
         )(images.reshape(b * v, 3, h, w))
 
         def token_mlp(t, name):
-            t = nn.Dense(spec["dim"], name=f"{name}_fc1")(t)
+            t = nn.Dense(spec["dim"], dtype=self.dtype, name=f"{name}_fc1")(t)
             t = nn.relu(t)
-            return nn.Dense(cfg.d_out, name=f"{name}_fc2")(t)
+            return nn.Dense(cfg.d_out, dtype=self.dtype, name=f"{name}_fc2")(t)
 
         global_token = token_mlp(tokens[:, 0], "global_token")  # (bv, d_out)
         local_tokens = token_mlp(tokens[:, 1:], "local_token")  # (bv, n, d_out)

@@ -23,6 +23,10 @@ from dataclasses import dataclass
 from typing import Literal
 
 import flax.linen as nn
+
+# Compute dtype for convolutions (params stay f32); set by BackboneResnet
+# from the encoder's bf16 policy via a module attribute.
+
 import jax
 import jax.numpy as jnp
 
@@ -52,6 +56,7 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(jnp.float32)  # normalize in f32 regardless of policy
         if self.mode == "instance":
             mean = x.mean(axis=(1, 2), keepdims=True)
             var = x.var(axis=(1, 2), keepdims=True)
@@ -68,6 +73,7 @@ class BasicBlock(nn.Module):
     channels: int
     stride: int = 1
     norm_mode: str = "instance"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -79,10 +85,11 @@ class BasicBlock(nn.Module):
             strides=self.stride,
             padding=((1, 1), (1, 1)),
             use_bias=False,
+            dtype=self.dtype,
             name="conv1",
         )(x)
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(self.channels, (3, 3), use_bias=False, name="conv2")(y)
+        y = nn.Conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.channels:
             residual = nn.Conv(
@@ -90,6 +97,7 @@ class BasicBlock(nn.Module):
                 (1, 1),
                 strides=self.stride,
                 use_bias=False,
+                dtype=self.dtype,
                 name="downsample",
             )(x)
             residual = norm("bn_ds")(residual)
@@ -100,13 +108,14 @@ class Bottleneck(nn.Module):
     channels: int  # internal width; output is channels * 4
     stride: int = 1
     norm_mode: str = "instance"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         norm = lambda name: Norm(self.norm_mode, name=name)
         out_ch = self.channels * 4
         residual = x
-        y = nn.Conv(self.channels, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(norm("bn1")(y))
         y = nn.Conv(
             self.channels,
@@ -114,14 +123,20 @@ class Bottleneck(nn.Module):
             strides=self.stride,
             padding=((1, 1), (1, 1)),
             use_bias=False,
+            dtype=self.dtype,
             name="conv2",
         )(y)
         y = nn.relu(norm("bn2")(y))
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = norm("bn3")(y)
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = nn.Conv(
-                out_ch, (1, 1), strides=self.stride, use_bias=False, name="downsample"
+                out_ch,
+                (1, 1),
+                strides=self.stride,
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample",
             )(x)
             residual = norm("bn_ds")(residual)
         return nn.relu(y + residual)
@@ -155,6 +170,7 @@ def _bilinear_resize(x: jax.Array, shape: tuple[int, int]) -> jax.Array:
 
 class BackboneResnet(nn.Module):
     cfg: BackboneResnetCfg
+    dtype: object = None
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -166,7 +182,7 @@ class BackboneResnet(nn.Module):
         b, v, _, h, w = images.shape
         x = images.reshape(b * v, 3, h, w).transpose(0, 2, 3, 1)  # NHWC
 
-        x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)), use_bias=False, name="conv1")(x)
+        x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)), use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(Norm(norm_mode, name="bn1")(x))
         features = [nn.Conv(cfg.d_out, (1, 1), name="projection0")(x)]
 
@@ -185,6 +201,7 @@ class BackboneResnet(nn.Module):
                     widths[stage - 1],
                     stride=stride if i == 0 else 1,
                     norm_mode=norm_mode,
+                    dtype=self.dtype,
                     name=f"layer{stage}_block{i}",
                 )(x)
             features.append(nn.Conv(cfg.d_out, (1, 1), name=f"projection{stage}")(x))

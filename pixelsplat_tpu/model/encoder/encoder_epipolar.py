@@ -55,6 +55,10 @@ class EncoderEpipolarCfg:
     use_epipolar_transformer: bool = True
     use_transmittance: bool = False
     num_context_views: int = 2
+    # Compute dtype policy for the matmul/conv-heavy paths (backbone,
+    # epipolar transformer, heads). "bfloat16" roughly halves encoder HBM
+    # traffic on TPU; parameters and the depth/Gaussian numerics stay f32.
+    compute_dtype: Optional[str] = None
 
 
 class EncoderEpipolar(nn.Module):
@@ -80,18 +84,19 @@ class EncoderEpipolar(nn.Module):
 
         check_context(context)
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         image = context["image"]  # (b, v, 3, h, w)
         b, v, _, h, w = image.shape
 
         if isinstance(cfg.backbone, BackboneDinoCfg):
-            backbone = BackboneDino(cfg.backbone, name="backbone")
+            backbone = BackboneDino(cfg.backbone, dtype=dtype, name="backbone")
         else:
-            backbone = BackboneResnet(cfg.backbone, name="backbone")
+            backbone = BackboneResnet(cfg.backbone, dtype=dtype, name="backbone")
         features = backbone(image)  # (b, v, c, h, w)
 
         features = features.transpose(0, 1, 3, 4, 2)
         features = nn.relu(features)
-        features = nn.Dense(cfg.d_feature, name="backbone_projection")(features)
+        features = nn.Dense(cfg.d_feature, dtype=dtype, name="backbone_projection")(features)
         features = features.transpose(0, 1, 4, 2, 3)
 
         sampling = None
@@ -100,6 +105,7 @@ class EncoderEpipolar(nn.Module):
                 cfg.epipolar_transformer,
                 cfg.d_feature,
                 num_context_views=cfg.num_context_views,
+                dtype=dtype,
                 name="epipolar_transformer",
             )(
                 features,
@@ -115,7 +121,7 @@ class EncoderEpipolar(nn.Module):
         # High-resolution skip from the raw image.
         skip = image.reshape(b * v, 3, h, w).transpose(0, 2, 3, 1)
         skip = nn.Conv(
-            cfg.d_feature, kernel_size=(7, 7), name="high_resolution_skip"
+            cfg.d_feature, kernel_size=(7, 7), dtype=dtype, name="high_resolution_skip"
         )(skip)
         skip = nn.relu(skip)
         features = features + skip.transpose(0, 3, 1, 2).reshape(
@@ -124,6 +130,7 @@ class EncoderEpipolar(nn.Module):
 
         # Depths + densities per ray.
         features = features.transpose(0, 1, 3, 4, 2).reshape(b, v, h * w, cfg.d_feature)
+        features = features.astype(jnp.float32)
         gpp = 1 if deterministic else cfg.gaussians_per_pixel
         depths, densities = DepthPredictorMonocular(
             cfg.d_feature,

@@ -42,12 +42,13 @@ class _ImageSelfAttentionFF(nn.Module):
 
     cfg: ImageSelfAttentionCfg
     dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, b: int, v: int, h: int, w: int) -> jax.Array:
         c = x.shape[-1]
         img = x.reshape(b * v, h, w, c).transpose(0, 3, 1, 2)
-        img = ImageSelfAttention(self.cfg, c, name="self_attention")(img) + img
+        img = ImageSelfAttention(self.cfg, c, dtype=self.dtype, name="self_attention")(img) + img
         return img.transpose(0, 2, 3, 1).reshape(b * v * h * w, 1, c)
 
 
@@ -55,6 +56,7 @@ class EpipolarTransformer(nn.Module):
     cfg: EpipolarTransformerCfg
     d_in: int
     num_context_views: int = 2
+    dtype: object = None  # compute dtype for matmul-heavy paths
 
     @nn.compact
     def __call__(
@@ -76,6 +78,7 @@ class EpipolarTransformer(nn.Module):
                 kernel_size=(cfg.downscale, cfg.downscale),
                 strides=(cfg.downscale, cfg.downscale),
                 padding="VALID",
+                dtype=self.dtype,
                 name="downscaler",
             )(x)
             features = x.transpose(0, 3, 1, 2).reshape(
@@ -107,7 +110,7 @@ class EpipolarTransformer(nn.Module):
                 depths, near[:, :, None, None, None], far[:, :, None, None, None]
             )
             depths = positional_encoding(depths[..., None], cfg.num_octaves)
-            depths = nn.Dense(self.d_in, name="depth_proj")(depths)
+            depths = nn.Dense(self.d_in, dtype=self.dtype, name="depth_proj")(depths)
             kv = sampling.features + depths
         else:
             kv = sampling.features
@@ -138,8 +141,9 @@ class EpipolarTransformer(nn.Module):
             selfatt=False,
             kv_dim=self.d_in,
             feed_forward_factory=lambda dim, mlp_dim, name: _ImageSelfAttentionFF(
-                cfg.self_attention, dim, name=name
+                cfg.self_attention, dim, dtype=self.dtype, name=name
             ),
+            dtype=self.dtype,
             name="transformer",
         )(q, z=kv, b=b, v=v, h=h, w=w)
         features = out.reshape(b, v, h, w, self.d_in).transpose(0, 1, 4, 2, 3)
@@ -151,11 +155,12 @@ class EpipolarTransformer(nn.Module):
                 kernel_size=(cfg.downscale, cfg.downscale),
                 strides=(cfg.downscale, cfg.downscale),
                 padding="VALID",
+                dtype=self.dtype,
                 name="upscaler",
             )(x)
-            y = nn.Conv(self.d_in * 2, kernel_size=(7, 7), name="refine1")(x)
+            y = nn.Conv(self.d_in * 2, kernel_size=(7, 7), dtype=self.dtype, name="refine1")(x)
             y = nn.gelu(y)
-            y = nn.Conv(self.d_in, kernel_size=(7, 7), name="refine2")(y)
+            y = nn.Conv(self.d_in, kernel_size=(7, 7), dtype=self.dtype, name="refine2")(y)
             x = x + y
             features = x.transpose(0, 3, 1, 2).reshape(
                 b, v, self.d_in, h_full, w_full

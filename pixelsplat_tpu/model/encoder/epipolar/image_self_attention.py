@@ -32,6 +32,7 @@ class ImageSelfAttentionCfg:
 class ImageSelfAttention(nn.Module):
     cfg: ImageSelfAttentionCfg
     d_out: int
+    dtype: object = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, image: jax.Array) -> jax.Array:
@@ -43,15 +44,18 @@ class ImageSelfAttention(nn.Module):
             kernel_size=(cfg.patch_size, cfg.patch_size),
             strides=(cfg.patch_size, cfg.patch_size),
             padding="VALID",
+            dtype=self.dtype,
             name="patch_embedder",
         )(x)
         tokens = nn.relu(tokens)
 
         b, nh, nw, _ = tokens.shape
-        xy, _ = sample_image_grid((nh, nw), dtype=tokens.dtype)
+        # PE in f32 (high-octave sin/cos loses precision in bf16);
+        # the pe_proj Dense casts down if a compute dtype is set.
+        xy, _ = sample_image_grid((nh, nw), dtype=jnp.float32)
         pe = positional_encoding(xy, cfg.num_octaves)  # (nh, nw, pe_dim)
-        pe = nn.Dense(cfg.d_token, name="pe_proj")(pe)
-        tokens = tokens + pe[None]
+        pe = nn.Dense(cfg.d_token, dtype=self.dtype, name="pe_proj")(pe)
+        tokens = tokens + pe[None].astype(tokens.dtype)
 
         tokens = tokens.reshape(b, nh * nw, cfg.d_token)
         tokens = Transformer(
@@ -60,6 +64,7 @@ class ImageSelfAttention(nn.Module):
             heads=cfg.num_heads,
             dim_head=cfg.d_dot,
             mlp_dim=cfg.d_mlp,
+            dtype=self.dtype,
             name="transformer",
         )(tokens)
         tokens = tokens.reshape(b, nh, nw, cfg.d_token)
@@ -69,6 +74,7 @@ class ImageSelfAttention(nn.Module):
             kernel_size=(cfg.patch_size, cfg.patch_size),
             strides=(cfg.patch_size, cfg.patch_size),
             padding="VALID",
+            dtype=self.dtype,
             name="resampler",
         )(tokens)
         return out.transpose(0, 3, 1, 2)  # NCHW

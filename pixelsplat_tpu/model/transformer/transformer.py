@@ -24,16 +24,17 @@ class Attention(nn.Module):
     dim_head: int = 64
     selfatt: bool = True
     kv_dim: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jax.Array, z: Optional[jax.Array] = None) -> jax.Array:
         inner = self.dim_head * self.heads
         if z is None:
-            qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+            qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
-            q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-            kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(z)
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="to_kv")(z)
             k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):
@@ -43,7 +44,9 @@ class Attention(nn.Module):
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
         scale = self.dim_head**-0.5
         logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
-        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if self.dtype is not None:
+            attn = attn.astype(self.dtype)
         # Capture attention maps for the encoder visualizer (reference
         # hooks the softmax module; here `sow` is free unless the
         # "intermediates" collection is requested).
@@ -54,19 +57,21 @@ class Attention(nn.Module):
 
         project_out = not (self.heads == 1 and self.dim_head == self.dim)
         if project_out:
-            out = nn.Dense(self.dim, name="to_out")(out)
-        return out
+            out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        return out.astype(x.dtype)
 
 
 class FeedForward(nn.Module):
     dim: int
     hidden_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, **_: Any) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        in_dtype = x.dtype
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x)
-        return nn.Dense(self.dim, name="fc2")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x).astype(in_dtype)
 
 
 class Transformer(nn.Module):
@@ -85,6 +90,7 @@ class Transformer(nn.Module):
     selfatt: bool = True
     kv_dim: Optional[int] = None
     feed_forward_factory: Optional[Callable[..., nn.Module]] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -102,13 +108,14 @@ class Transformer(nn.Module):
                     dim_head=self.dim_head,
                     selfatt=self.selfatt,
                     kv_dim=self.kv_dim,
+                    dtype=self.dtype,
                     name=f"attn_{i}",
                 )(attn_in, z=z)
                 + x
             )
             ff_in = nn.LayerNorm(name=f"ff_norm_{i}")(x)
             if self.feed_forward_factory is None:
-                ff = FeedForward(self.dim, self.mlp_dim, name=f"ff_{i}")
+                ff = FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name=f"ff_{i}")
             else:
                 ff = self.feed_forward_factory(self.dim, self.mlp_dim, name=f"ff_{i}")
             x = ff(ff_in, **ff_kwargs) + x

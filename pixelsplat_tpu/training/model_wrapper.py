@@ -21,6 +21,7 @@ import optax
 from ..loss import Loss
 from ..model.decoder.decoder_splatting import DecoderSplatting
 from ..model.encoder.data_shim import get_data_shim
+from ..model.encoder import get_encoder
 from ..model.encoder.encoder_epipolar import EncoderEpipolar, EncoderEpipolarCfg
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from .optimizer import OptimizerCfg, build_optimizer
@@ -64,7 +65,7 @@ class ModelWrapper:
         self.optimizer_cfg = optimizer_cfg
         self.train_cfg = train_cfg
         self.test_cfg = test_cfg
-        self.encoder = EncoderEpipolar(encoder_cfg)
+        self.encoder = get_encoder(encoder_cfg)[0]
         self.encoder_cfg = encoder_cfg
         self.data_shim = get_data_shim(encoder_cfg)
         self.decoder = decoder

@@ -217,3 +217,23 @@ def test_lpips_runs():
     d_diff = compute_lpips(img, other, params)
     assert d_diff.shape == (2,)
     assert bool(jnp.isfinite(d_diff).all())
+
+
+def test_encoder_bf16_compute_policy(encoder_setup):
+    """compute_dtype="bfloat16" must run the same params (f32) through the
+    bf16 matmul path and land close to the f32 result: params trees are
+    identical, outputs finite, opacities within bf16 tolerance."""
+    cfg, encoder, context, params = encoder_setup
+    cfg16 = tiny_cfg(compute_dtype="bfloat16")
+    encoder16 = EncoderEpipolar(cfg16)
+    # Same params apply cleanly (dtype is a compute policy, not a param one).
+    g32 = encoder.apply(params, context, jnp.asarray(100), True)
+    g16 = encoder16.apply(params, context, jnp.asarray(100), True)
+    assert g16.means.dtype == jnp.float32
+    assert bool(jnp.isfinite(g16.means).all())
+    assert bool(jnp.isfinite(g16.harmonics).all())
+    # Opacities come from the (f32) depth head fed by bf16 features.
+    assert float(jnp.abs(g16.opacities - g32.opacities).mean()) < 0.05
+    # Means should be very close: same rays, depth head sees slightly
+    # different features.
+    assert float(jnp.abs(g16.means - g32.means).mean()) < 0.15
