@@ -63,7 +63,14 @@ def build_tile_params(
     packed = jnp.stack(cols, axis=-1)  # (g, 6+ch)
     packed = jnp.pad(packed, ((0, 1), (0, F - packed.shape[-1])))  # (g+1, F)
 
-    rows = packed[tiles.indices]  # (T, K, F) — one gather
+    if jax.default_backend() == "cpu":
+        rows = packed[tiles.indices]  # (T, K, F) — one gather
+    else:
+        # Same gather, but with a sort-based VJP: XLA's scatter-add
+        # backward costs ~57 ms/view at production scale on TPU.
+        from .tile_gather import gather_rows
+
+        rows = gather_rows(packed, tiles.indices)
     params = rows.transpose(0, 2, 1)  # (T, F, K)
     k_ = params.shape[-1]
     params = jnp.pad(params, ((0, 0), (0, 0), (0, (-k_) % chunk)))

@@ -1,0 +1,90 @@
+"""Row gather with a sort-based backward (replaces XLA scatter-add).
+
+`build_tile_params` gathers per-tile parameter rows `packed[indices]`; its
+autodiff backward is a scatter-add over ~1M rows, which XLA lowers to an
+expensive sorted-scatter on TPU (~57 ms/view at production scale — the
+dominant backward cost, mirroring the atomics in the CUDA backward,
+/root/reference's diff-gaussian-rasterization BACKWARD::render).
+
+Here the backward is expressed with TPU-friendly primitives instead:
+
+1. sort the flat indices once, carrying the source position as payload;
+2. gather the cotangent rows into index-sorted order (row gathers are fast);
+3. running prefix sum over the sorted rows;
+4. per-output-row segment sums are differences of prefix sums at segment
+   bounds, found either with `searchsorted` or a tag-stable merge sort
+   (binary search costs log(n) serial gather rounds; the merge rides the
+   same bitonic sorter as step 1).
+
+Numerics: the prefix-sum difference can lose ~sqrt(n)·eps of relative
+precision vs. true per-segment sums. Gradients at this scale tolerate it
+(validated against the XLA scatter in tests), but the exact XLA path stays
+the default on CPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Bounds strategy for the backward: "searchsorted" | "merge".
+BOUNDS_MODE = "merge"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def gather_rows(packed: jax.Array, indices: jax.Array) -> jax.Array:
+    """packed: (rows, f); indices: (...,) int32 in [0, rows) -> (..., f)."""
+    return packed[indices]
+
+
+def _gather_rows_fwd(packed, indices):
+    return packed[indices], (indices, packed.shape[0])
+
+
+def _segment_bounds_searchsorted(sorted_idx: jax.Array, rows: int) -> jax.Array:
+    return jnp.searchsorted(sorted_idx, jnp.arange(rows + 1, dtype=jnp.int32))
+
+
+def _segment_bounds_merge(sorted_idx: jax.Array, rows: int) -> jax.Array:
+    """bounds[i] = #sorted_idx < i, via one stable two-key sort.
+
+    Probes (tag 0) merge in front of equal data keys (tag 1); a second,
+    single-key sort by tag compresses the probes back out front in key
+    order, so each probe's merged position minus its rank is its bound.
+    """
+    n = sorted_idx.shape[0]
+    probes = jnp.arange(rows + 1, dtype=sorted_idx.dtype)
+    keys = jnp.concatenate([sorted_idx, probes])
+    tags = jnp.concatenate(
+        [jnp.ones(n, jnp.int32), jnp.zeros(rows + 1, jnp.int32)]
+    )
+    _, stags, smpos = jax.lax.sort(
+        (keys, tags, jnp.arange(n + rows + 1, dtype=jnp.int32)), num_keys=2
+    )
+    merged_pos = jnp.arange(n + rows + 1, dtype=jnp.int32)
+    _, probe_merged = jax.lax.sort((stags, merged_pos), num_keys=1)
+    return probe_merged[: rows + 1] - probes.astype(jnp.int32)
+
+
+def _gather_rows_bwd(residuals, d_out):
+    indices, rows = residuals
+    f = d_out.shape[-1]
+    flat = indices.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sorted_idx, perm = jax.lax.sort((flat, pos), num_keys=1)
+    sorted_rows = d_out.reshape(n, f)[perm]
+    csum = jnp.concatenate(
+        [jnp.zeros((1, f), sorted_rows.dtype), jnp.cumsum(sorted_rows, axis=0)]
+    )
+    if BOUNDS_MODE == "merge":
+        bounds = _segment_bounds_merge(sorted_idx, rows)
+    else:
+        bounds = _segment_bounds_searchsorted(sorted_idx, rows)
+    d_packed = csum[bounds[1:]] - csum[bounds[:-1]]
+    return d_packed, None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
