@@ -47,19 +47,19 @@ def build_tile_params(
     projected Gaussian arrays (the gather's backward is a scatter-add,
     as in the CUDA backward's atomics).
     """
-    ch = projected.color.shape[-1]
+    ch = projected.color.shape[0]
     assert ch <= 6  # channels 6-7 carry n_proc + transmittance
     g = projected.depth.shape[0]
     op = jnp.where(projected.valid, projected.opacity, 0.0)
     cols = [
-        projected.mean2d[:, 0],
-        projected.mean2d[:, 1],
-        projected.conic[:, 0],
-        projected.conic[:, 1],
-        projected.conic[:, 2],
+        projected.mean_x,
+        projected.mean_y,
+        projected.conic_a,
+        projected.conic_b,
+        projected.conic_c,
         op,
     ]
-    cols += [projected.color[:, i] for i in range(ch)]
+    cols += [projected.color[i] for i in range(ch)]
     packed = jnp.stack(cols, axis=-1)  # (g, 6+ch)
     packed = jnp.pad(packed, ((0, 1), (0, F - packed.shape[-1])))  # (g+1, F)
 
@@ -188,7 +188,7 @@ def composite_tiles(
     h, w = image_shape
     tiles_x = -(-w // tile_size)
     tiles_y = -(-h // tile_size)
-    channels = projected.color.shape[-1]
+    channels = projected.color.shape[0]
     num_tiles = tiles.indices.shape[0]
     p = tile_size * tile_size
 

@@ -1,14 +1,15 @@
-"""Gaussian projection to screen space (EWA splatting), in pure JAX.
+"""Gaussian projection: 3D world Gaussians → screen-space splats.
 
-Replaces the projection stage of the reference's CUDA rasterizer
-(diff-gaussian-rasterization's preprocess kernel, driven from
-/root/reference/src/model/decoder/cuda_splatting.py): world-space 3D
-Gaussians are projected to 2D screen-space Gaussians (mean, conic, radius)
-plus per-Gaussian view-dependent color from spherical harmonics.
+Re-implements the projection stage of the reference's CUDA rasterizer
+(diff-gaussian-rasterization preprocessCUDA: EWA splatting of the 3x3
+covariance to a 2D conic, frustum cull, 3-sigma radius, SH color), as
+TPU-friendly vector code.
 
-Everything is batched over the Gaussian axis — large fused elementwise
-chains plus small (3x3) matmul contractions, which XLA maps well onto the
-TPU VPU/MXU.
+Layout note: all per-Gaussian outputs are structure-of-arrays — plain
+(g,) vectors (and (channels, g) colors) — so the Gaussian axis is the
+TPU lane dimension. Array-of-structs shapes like (g, 3) put a size-3
+axis minor-most, which pads to the 128-lane vector registers and made
+this stage ~4x slower.
 """
 
 from __future__ import annotations
@@ -17,17 +18,21 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...geometry.projection import get_fov, inverse_se3
-from ..sh import eval_sh
+from ..sh import sh_basis_components
 
 
 class ProjectedGaussians(NamedTuple):
-    mean2d: jax.Array  # (g, 2) pixel coordinates (pixel centers at integers)
-    conic: jax.Array  # (g, 3) inverse 2D covariance upper triangle (a, b, c)
+    mean_x: jax.Array  # (g,) pixel x (pixel centers at integers)
+    mean_y: jax.Array  # (g,) pixel y
+    conic_a: jax.Array  # (g,) inverse 2D covariance upper triangle a
+    conic_b: jax.Array  # (g,) ... b
+    conic_c: jax.Array  # (g,) ... c
     depth: jax.Array  # (g,) camera-space z
     radius: jax.Array  # (g,) screen-space radius in pixels (3 sigma)
-    color: jax.Array  # (g, 3)
+    color: jax.Array  # (channels, g)
     opacity: jax.Array  # (g,)
     valid: jax.Array  # (g,) bool
 
@@ -53,7 +58,7 @@ def project_gaussians(
     covariances: jax.Array,  # (g, 3, 3)
     opacities: jax.Array,  # (g,)
     harmonics: Optional[jax.Array] = None,  # (g, 3, d_sh) SH coefficients
-    colors_precomp: Optional[jax.Array] = None,  # (g, 3) raw colors
+    colors_precomp: Optional[jax.Array] = None,  # (g, c) raw colors
 ) -> ProjectedGaussians:
     """Project one view's Gaussians to screen space.
 
@@ -61,15 +66,23 @@ def project_gaussians(
     use_sh switch in the reference wrappers).
     """
     h, w = image_shape
+    g = means.shape[0]
     dtype = means.dtype
 
     w2c = inverse_se3(extrinsics)
-    rot_w2c = w2c[:3, :3]
+    rot = w2c[:3, :3]
     cam_pos = extrinsics[:3, 3]
 
-    # Camera-space positions.
-    t = jnp.einsum("ij,gj->gi", rot_w2c, means) + w2c[:3, 3]
-    tz = t[..., 2]
+    # One explicit transpose puts the Gaussian axis minor (lane dim);
+    # slicing columns of the (g, 3) array directly would issue g-strided
+    # reads per column instead of a single relayout pass.
+    means_t = means.T  # (3, g)
+    mx, my, mz = means_t[0], means_t[1], means_t[2]
+
+    # Camera-space positions (scalar x vector multiply-adds).
+    tx = rot[0, 0] * mx + rot[0, 1] * my + rot[0, 2] * mz + w2c[0, 3]
+    ty = rot[1, 0] * mx + rot[1, 1] * my + rot[1, 2] * mz + w2c[1, 3]
+    tz = rot[2, 0] * mx + rot[2, 1] * my + rot[2, 2] * mz + w2c[2, 3]
     depth = tz
 
     # Pixel-space focal lengths / principal point.
@@ -83,39 +96,54 @@ def project_gaussians(
     tan_fov_y = jnp.tan(0.5 * fov[1])
 
     safe_tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
-    mean2d = jnp.stack(
-        [
-            fx * t[..., 0] / safe_tz + cx - 0.5,
-            fy * t[..., 1] / safe_tz + cy - 0.5,
-        ],
-        axis=-1,
-    )
+    inv_z = 1.0 / safe_tz
+    mean_x = fx * tx * inv_z + cx - 0.5
+    mean_y = fy * ty * inv_z + cy - 0.5
 
     # EWA: J W Sigma W^T J^T with the frustum clamp the CUDA kernel applies
-    # to the Jacobian's input point.
+    # to the Jacobian's input point. J has rows
+    #   [fx/z, 0, -fx*tx/z^2], [0, fy/z, -fy*ty/z^2];
+    # jw = J @ W is written out as scalar-vector products, and the 2x2
+    # output quadratic form is expanded over the 6 unique Sigma entries.
     lim_x = 1.3 * tan_fov_x
     lim_y = 1.3 * tan_fov_y
-    txz = jnp.clip(t[..., 0] / safe_tz, -lim_x, lim_x) * tz
-    tyz = jnp.clip(t[..., 1] / safe_tz, -lim_y, lim_y) * tz
-    inv_z = 1.0 / safe_tz
+    txz = jnp.clip(tx * inv_z, -lim_x, lim_x) * tz
+    tyz = jnp.clip(ty * inv_z, -lim_y, lim_y) * tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    j = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * txz * inv_z2], axis=-1),
-            jnp.stack([zeros, fy * inv_z, -fy * tyz * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (g, 2, 3)
-    jw = jnp.einsum("gij,jk->gik", j, rot_w2c)  # (g, 2, 3)
-    cov2d = jnp.einsum("gik,gkl,gjl->gij", jw, covariances, jw)  # (g, 2, 2)
-    a = cov2d[..., 0, 0] + COV2D_DILATION
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + COV2D_DILATION
+    j00 = fx * inv_z
+    j02 = -fx * txz * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * tyz * inv_z2
+
+    # jw rows: u_k = j00*W[0,k] + j02*W[2,k]; v_k = j11*W[1,k] + j12*W[2,k].
+    u0 = j00 * rot[0, 0] + j02 * rot[2, 0]
+    u1 = j00 * rot[0, 1] + j02 * rot[2, 1]
+    u2 = j00 * rot[0, 2] + j02 * rot[2, 2]
+    v0 = j11 * rot[1, 0] + j12 * rot[2, 0]
+    v1 = j11 * rot[1, 1] + j12 * rot[2, 1]
+    v2 = j11 * rot[1, 2] + j12 * rot[2, 2]
+
+    cov_t = covariances.reshape(g, 9).T  # (9, g) one relayout pass
+    s00, s01, s02 = cov_t[0], cov_t[1], cov_t[2]
+    s11, s12 = cov_t[4], cov_t[5]
+    s22 = cov_t[8]
+
+    # Sigma @ u and Sigma @ v, then the quadratic forms.
+    su0 = s00 * u0 + s01 * u1 + s02 * u2
+    su1 = s01 * u0 + s11 * u1 + s12 * u2
+    su2 = s02 * u0 + s12 * u1 + s22 * u2
+    sv0 = s00 * v0 + s01 * v1 + s02 * v2
+    sv1 = s01 * v0 + s11 * v1 + s12 * v2
+    sv2 = s02 * v0 + s12 * v1 + s22 * v2
+    a = u0 * su0 + u1 * su1 + u2 * su2 + COV2D_DILATION
+    b = v0 * su0 + v1 * su1 + v2 * su2
+    c = v0 * sv0 + v1 * sv1 + v2 * sv2 + COV2D_DILATION
 
     det = a * c - b * b
     safe_det = jnp.where(det <= 0, 1.0, det)
-    conic = jnp.stack([c / safe_det, -b / safe_det, a / safe_det], axis=-1)
+    conic_a = c / safe_det
+    conic_b = -b / safe_det
+    conic_c = a / safe_det
 
     mid = 0.5 * (a + c)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
@@ -123,27 +151,46 @@ def project_gaussians(
 
     # Screen-bounds cull: the Gaussian's bbox must intersect the image.
     on_screen = (
-        (mean2d[..., 0] + radius > 0)
-        & (mean2d[..., 0] - radius < w)
-        & (mean2d[..., 1] + radius > 0)
-        & (mean2d[..., 1] - radius < h)
+        (mean_x + radius > 0)
+        & (mean_x - radius < w)
+        & (mean_y + radius > 0)
+        & (mean_y - radius < h)
     )
     valid = (depth > NEAR_CLIP) & (det > 0) & on_screen & (opacities > MIN_ALPHA)
 
     if (harmonics is None) == (colors_precomp is None):
         raise ValueError("Provide exactly one of harmonics / colors_precomp.")
     if harmonics is not None:
-        view_dir = means - cam_pos
-        view_dir = view_dir / (
-            jnp.linalg.norm(view_dir, axis=-1, keepdims=True) + 1e-12
+        dx = mx - cam_pos[0]
+        dy = my - cam_pos[1]
+        dz = mz - cam_pos[2]
+        inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-24)
+        basis = sh_basis_components(
+            dx * inv_n,
+            dy * inv_n,
+            dz * inv_n,
+            int(np.sqrt(harmonics.shape[-1])) - 1,
         )
-        color = eval_sh(harmonics, view_dir)
+        channels = harmonics.shape[1]
+        harm_t = harmonics.transpose(1, 2, 0)  # (channels, d_sh, g), one pass
+        color = jnp.stack(
+            [
+                sum(bk * harm_t[ch, k] for k, bk in enumerate(basis))
+                for ch in range(channels)
+            ],
+            axis=0,
+        )
+        # 3DGS convention: +0.5 offset, clamped at zero (computeColorFromSH).
+        color = jnp.maximum(color + 0.5, 0.0)
     else:
-        color = colors_precomp
+        color = colors_precomp.T  # (c, g)
 
     return ProjectedGaussians(
-        mean2d=mean2d.astype(dtype),
-        conic=conic.astype(dtype),
+        mean_x=mean_x.astype(dtype),
+        mean_y=mean_y.astype(dtype),
+        conic_a=conic_a.astype(dtype),
+        conic_b=conic_b.astype(dtype),
+        conic_c=conic_c.astype(dtype),
         depth=depth,
         radius=jnp.where(valid, radius, 0.0),
         color=color.astype(dtype),

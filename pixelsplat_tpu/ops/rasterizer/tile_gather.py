@@ -74,7 +74,9 @@ def _gather_rows_bwd(residuals, d_out):
     flat = indices.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    sorted_idx, perm = jax.lax.sort((flat, pos), num_keys=1)
+    # Unstable: ties (same output row) are summed anyway, and XLA's stable
+    # sort carries an extra tiebreaker array through every pass.
+    sorted_idx, perm = jax.lax.sort((flat, pos), num_keys=1, is_stable=False)
     sorted_rows = d_out.reshape(n, f)[perm]
     csum = jnp.concatenate(
         [jnp.zeros((1, f), sorted_rows.dtype), jnp.cumsum(sorted_rows, axis=0)]

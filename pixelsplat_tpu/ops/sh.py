@@ -26,17 +26,13 @@ import numpy as np
 MAX_DEGREE = 4
 
 
-def sh_basis(dirs: jax.Array, degree: int, xp=jnp) -> jax.Array:
-    """Evaluate the real SH basis at unit directions.
+def sh_basis_components(x, y, z, degree: int, xp=jnp) -> list:
+    """Real SH basis values as a list of arrays (one per coefficient).
 
-    Args:
-      dirs: (..., 3) unit vectors.
-      degree: max SH degree (0..4).
-      xp: array namespace (jnp, or np for float64 compile-time constants).
-    Returns:
-      (..., (degree+1)^2) basis values.
+    Component form keeps TPU code in plain vector ops — callers that want
+    structure-of-arrays layouts (e.g. the rasterizer's projection stage)
+    avoid a minor-dim stack.
     """
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     one = xp.ones_like(x)
     out = [0.28209479177387814 * one]
     if degree >= 1:
@@ -77,6 +73,22 @@ def sh_basis(dirs: jax.Array, degree: int, xp=jnp) -> jax.Array:
             -1.7701307697799304 * xz * (xx - 3.0 * yy),
             0.6258357354491761 * (xx * xx - 6.0 * xx * yy + yy * yy),
         ]
+    return out
+
+
+def sh_basis(dirs: jax.Array, degree: int, xp=jnp) -> jax.Array:
+    """Evaluate the real SH basis at unit directions.
+
+    Args:
+      dirs: (..., 3) unit vectors.
+      degree: max SH degree (0..4).
+      xp: array namespace (jnp, or np for float64 compile-time constants).
+    Returns:
+      (..., (degree+1)^2) basis values.
+    """
+    out = sh_basis_components(
+        dirs[..., 0], dirs[..., 1], dirs[..., 2], degree, xp=xp
+    )
     return xp.stack(out, axis=-1)
 
 
