@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ....utils.distributions import (
     gather_discrete_topk,
+    onehot_gather,
     sample_discrete_distribution,
 )
 from .conversions import relative_disparity_to_depth
@@ -59,7 +60,8 @@ class DepthPredictorMonocular(nn.Module):
             if rng is None:
                 rng = self.make_rng("sample")
             index, pdf_i = sample_discrete_distribution(rng, pdf, gaussians_per_pixel)
-        offset_i = jnp.take_along_axis(offset, index, axis=-1)
+        offset_i = onehot_gather(offset, index)  # take_along_axis lowers to
+        # a slow row gather on TPU; bucket count is tiny.
 
         relative_disparity = (index.astype(offset.dtype) + offset_i) / s
         depth = relative_disparity_to_depth(
@@ -74,7 +76,7 @@ class DepthPredictorMonocular(nn.Module):
                 [jnp.zeros_like(partial[..., :1]), partial[..., :-1]], axis=-1
             )
             opacity = pdf / (1.0 - partial + 1e-10)
-            opacity = jnp.take_along_axis(opacity, index, axis=-1)
+            opacity = onehot_gather(opacity, index)
         else:
             opacity = pdf_i
 

@@ -158,6 +158,24 @@ def sh_rotation_matrix(rotations: jax.Array, degree: int) -> jax.Array:
     )
 
 
+def full_sh_rotation_matrix(rotations: jax.Array, degree: int) -> jax.Array:
+    """Block-diagonal rotation over all degrees 0..degree: (..., n, n).
+
+    One dense (n, n) matrix per rotation so the coefficient rotation is a
+    single matmul — per-degree einsums with widths 1/3/5/7/9 force
+    minor-dim relayout copies on TPU that cost more than the arithmetic.
+    The matrices are tiny (n <= 25) relative to the coefficient batch.
+    """
+    n = (degree + 1) ** 2
+    m = jnp.zeros((*rotations.shape[:-2], n, n), rotations.dtype)
+    for l in range(degree + 1):
+        block = sh_rotation_matrix(rotations, l)
+        m = jax.lax.dynamic_update_slice(
+            m, block, (0,) * (m.ndim - 2) + (l**2, l**2)
+        )
+    return m
+
+
 def rotate_sh(sh_coefficients: jax.Array, rotations: jax.Array) -> jax.Array:
     """Rotate SH coefficients (..., n) by rotation matrices (..., 3, 3).
 
@@ -168,13 +186,7 @@ def rotate_sh(sh_coefficients: jax.Array, rotations: jax.Array) -> jax.Array:
     """
     n = sh_coefficients.shape[-1]
     degree = int(np.sqrt(n)) - 1
-    result = []
-    for l in range(degree + 1):
-        block = sh_coefficients[..., l**2 : (l + 1) ** 2]
-        m = sh_rotation_matrix(rotations, l)
-        result.append(
-            jnp.einsum(
-                "...ij,...j->...i", m, block, precision=jax.lax.Precision.HIGHEST
-            )
-        )
-    return jnp.concatenate(result, axis=-1)
+    m = full_sh_rotation_matrix(rotations, degree)
+    return jnp.einsum(
+        "...ij,...j->...i", m, sh_coefficients, precision=jax.lax.Precision.HIGHEST
+    )

@@ -2,6 +2,13 @@
 
 Mirrors /root/reference/src/misc/discrete_probability_distribution.py with
 explicit PRNG keys instead of global torch RNG state.
+
+TPU note: bucket counts here are tiny (32 in the shipped configs), so
+inverse-CDF indices come from a vectorized comparison count and values are
+read back with a one-hot contraction. The obvious `searchsorted` +
+`take_along_axis` formulation lowers to a binary-search while-loop plus
+row gathers, which cost ~66 ms per encoder forward at production scale —
+three orders of magnitude more than the arithmetic it replaces.
 """
 
 from __future__ import annotations
@@ -10,6 +17,19 @@ import jax
 import jax.numpy as jnp
 
 _EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+def onehot_gather(values: jax.Array, index: jax.Array) -> jax.Array:
+    """values: (*batch, bucket); index: (*batch, sample) -> (*batch, sample).
+
+    Equivalent to take_along_axis on the last axis, as a fused
+    compare-multiply-reduce (no gather on the TPU lane dimension).
+    """
+    bucket = values.shape[-1]
+    onehot = index[..., None] == jnp.arange(bucket, dtype=index.dtype)
+    return jnp.sum(
+        jnp.where(onehot, values[..., None, :], 0), axis=-1
+    ).astype(values.dtype)
 
 
 def sample_discrete_distribution(
@@ -22,12 +42,13 @@ def sample_discrete_distribution(
     normalized = pdf / (_EPS + pdf.sum(axis=-1, keepdims=True))
     cdf = jnp.cumsum(normalized, axis=-1)
     u = jax.random.uniform(key, (*batch, num_samples), dtype=pdf.dtype)
-    # searchsorted(right) per batch row.
-    index = jax.vmap(lambda c, s: jnp.searchsorted(c, s, side="right"))(
-        cdf.reshape(-1, bucket), u.reshape(-1, num_samples)
-    ).reshape(*batch, num_samples)
+    # index = #{j : cdf[j] <= u} == searchsorted(cdf, u, side="right"),
+    # computed as a comparison count (bucket is small).
+    index = jnp.sum(
+        (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2
+    )
     index = jnp.clip(index, 0, bucket - 1)
-    density = jnp.take_along_axis(normalized, index, axis=-1)
+    density = onehot_gather(normalized, index)
     return index, density
 
 
@@ -35,8 +56,20 @@ def gather_discrete_topk(
     pdf: jax.Array,
     num_samples: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Deterministic top-k. Returns (indices, densities), (*batch, sample)."""
+    """Deterministic top-k. Returns (indices, densities), (*batch, sample).
+
+    Iterated masked argmax: lax.top_k lowers to a slow negate-reduce on
+    TPU, while num_samples is small (<= gaussians_per_pixel).
+    """
+    bucket = pdf.shape[-1]
     normalized = pdf / (_EPS + pdf.sum(axis=-1, keepdims=True))
-    _, index = jax.lax.top_k(pdf, num_samples)
-    density = jnp.take_along_axis(normalized, index, axis=-1)
+    positions = jnp.arange(bucket, dtype=jnp.int32)
+    work = pdf
+    indices = []
+    for _ in range(num_samples):
+        best = jnp.argmax(work, axis=-1).astype(jnp.int32)
+        indices.append(best)
+        work = jnp.where(positions == best[..., None], -jnp.inf, work)
+    index = jnp.stack(indices, axis=-1)
+    density = onehot_gather(normalized, index)
     return index, density
