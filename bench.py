@@ -74,20 +74,30 @@ def main() -> None:
         jnp.asarray(opac)[None],
     )
 
-    n = 20
+    # Render k distinct frames per dispatch (different cameras) so the
+    # host-side dispatch cost of the axon tunnel (~ms per jitted call)
+    # amortizes; the metric remains k genuine full renders per call.
+    k_inner = 5
+    n_dispatch = 4
+    n = k_inner * n_dispatch
+    cam_shifts = jnp.linspace(-0.2, 0.2, k_inner)
 
     @jax.jit
-    def one(e, k, nr, f, bg, m, c, s, o):
-        img = render(e, k, nr, f, (256, 256), bg, m, c, s, o, settings=settings)
-        return img[0, 0, 0, 0]
+    def burst(e, k, nr, f, bg, m, c, s, o):
+        def one(shift):
+            e2 = e.at[:, 0, 3].add(shift)
+            img = render(e2, k, nr, f, (256, 256), bg, m, c, s, o, settings=settings)
+            return img[0, 0, 0, 0]
 
-    # Warm up / compile, then time n async dispatches with a single host
+        return jax.lax.map(one, cam_shifts).sum()
+
+    # Warm up / compile, then time async dispatches with a single host
     # sync at the end (the axon tunnel makes block_until_ready a no-op;
     # np.asarray is the only real sync). Device queues are FIFO, so waiting
-    # on the last result bounds all n executions.
-    np.asarray(one(*args))
+    # on the last result bounds all executions.
+    np.asarray(burst(*args))
     t0 = time.perf_counter()
-    results = [one(*args) for _ in range(n)]
+    results = [burst(*args) for _ in range(n_dispatch)]
     np.asarray(results[-1])
     dt = time.perf_counter() - t0
 
