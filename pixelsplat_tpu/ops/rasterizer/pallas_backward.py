@@ -52,9 +52,9 @@ def _bwd_kernel(
     packed_g_ref,  # VMEM (1, P, CH_PAD)
     d_params_hbm,  # ANY out (T, F, K)
     in_scratch,  # VMEM (2, F, C)
-    out_scratch,  # VMEM (1, F, C)
+    out_scratch,  # VMEM (2, F, C)
     in_sems,  # DMA (2,)
-    out_sem,  # DMA (1,)
+    out_sems,  # DMA (2,)
 ):
     t = pl.program_id(0)
     n_proc = n_proc_ref[t]
@@ -87,15 +87,12 @@ def _bwd_kernel(
             in_sems.at[slot],
         )
 
-    def write_out(chunk_idx, values):
-        out_scratch[0] = values
-        dma = pltpu.make_async_copy(
-            out_scratch.at[0],
+    def out_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            out_scratch.at[slot],
             d_params_hbm.at[t, :, pl.ds(chunk_idx * C, C)],
-            out_sem.at[0],
+            out_sems.at[slot],
         )
-        dma.start()
-        dma.wait()
 
     @pl.when(n_proc > 0)
     def _():
@@ -170,7 +167,16 @@ def _bwd_kernel(
             ],
             axis=0,
         )  # (F, C)
-        write_out(i, d_chunk)
+
+        # Double-buffered output: wait only for the write that used this
+        # slot two iterations ago (a start+wait per chunk serialized the
+        # whole sweep on the store DMA).
+        @pl.when(k >= 2)
+        def _():
+            out_dma(slot, i).wait()
+
+        out_scratch[slot] = d_chunk
+        out_dma(slot, i).start()
 
         log_t_end = log_t_end - jnp.sum(la, axis=0, keepdims=True)
         s_run = s_run + jnp.sum(u, axis=0, keepdims=True)
@@ -178,12 +184,40 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, n_proc, body, (log_t_end0, s_run0))
 
-    # Chunks the forward never processed get zero gradients.
-    def zero_body(i, _):
-        write_out(i, zero_chunk)
+    # Drain the (up to two) outstanding writes before reusing the slots.
+    @pl.when(n_proc >= 1)
+    def _():
+        out_dma((n_proc - 1) % 2, 0).wait()
+
+    @pl.when(n_proc >= 2)
+    def _():
+        out_dma((n_proc - 2) % 2, 0).wait()
+
+    # Chunks the forward never processed get zero gradients; the zero block
+    # never changes, so only the DMAs are paced (two in flight).
+    out_scratch[0] = zero_chunk
+    out_scratch[1] = zero_chunk
+    n_zero = total_chunks - n_proc
+
+    def zero_body(k2, _):
+        slot = k2 % 2
+
+        @pl.when(k2 >= 2)
+        def _():
+            out_dma(slot, 0).wait()
+
+        out_dma(slot, n_proc + k2).start()
         return 0
 
-    jax.lax.fori_loop(n_proc, total_chunks, zero_body, 0)
+    jax.lax.fori_loop(0, n_zero, zero_body, 0)
+
+    @pl.when(n_zero >= 1)
+    def _():
+        out_dma((n_zero - 1) % 2, 0).wait()
+
+    @pl.when(n_zero >= 2)
+    def _():
+        out_dma((n_zero - 2) % 2, 0).wait()
 
 
 def pallas_composite_bwd(
@@ -209,9 +243,9 @@ def pallas_composite_bwd(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, F, C), jnp.float32),
-            pltpu.VMEM((1, F, C), jnp.float32),
+            pltpu.VMEM((2, F, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
