@@ -114,7 +114,7 @@ class BackboneDino(nn.Module):
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
-        """images: (b, v, 3, h, w) -> (b, v, d_out, h, w)."""
+        """images: (b, v, 3, h, w) -> (b, v, h, w, d_out) (channels-last)."""
         cfg = self.cfg
         spec = VIT_SPECS[cfg.model]
         patch = spec["patch"]
@@ -150,12 +150,8 @@ class BackboneDino(nn.Module):
         # Nearest-repeat each patch token over its patch footprint.
         local_tokens = jnp.repeat(jnp.repeat(local_tokens, patch, axis=2), patch, axis=3)
 
-        fused = (
-            resnet_features
-            + local_tokens.transpose(0, 1, 4, 2, 3)
-            + global_token.transpose(0, 1, 4, 2, 3)
-        )
-        return fused
+        # All three terms are already channels-last.
+        return resnet_features + local_tokens + global_token
 
     @property
     def d_out(self) -> int:

@@ -92,12 +92,10 @@ class EncoderEpipolar(nn.Module):
             backbone = BackboneDino(cfg.backbone, dtype=dtype, name="backbone")
         else:
             backbone = BackboneResnet(cfg.backbone, dtype=dtype, name="backbone")
-        features = backbone(image)  # (b, v, c, h, w)
+        features = backbone(image)  # (b, v, h, w, c) channels-last
 
-        features = features.transpose(0, 1, 3, 4, 2)
         features = nn.relu(features)
         features = nn.Dense(cfg.d_feature, dtype=dtype, name="backbone_projection")(features)
-        features = features.transpose(0, 1, 4, 2, 3)
 
         sampling = None
         if cfg.use_epipolar_transformer:
@@ -118,18 +116,17 @@ class EncoderEpipolar(nn.Module):
                 ),
             )
 
-        # High-resolution skip from the raw image.
+        # High-resolution skip from the raw image (the only NCHW->NHWC
+        # transpose left is this 3-channel input reshape).
         skip = image.reshape(b * v, 3, h, w).transpose(0, 2, 3, 1)
         skip = nn.Conv(
             cfg.d_feature, kernel_size=(7, 7), dtype=dtype, name="high_resolution_skip"
         )(skip)
         skip = nn.relu(skip)
-        features = features + skip.transpose(0, 3, 1, 2).reshape(
-            b, v, cfg.d_feature, h, w
-        )
+        features = features + skip.reshape(b, v, h, w, cfg.d_feature)
 
-        # Depths + densities per ray.
-        features = features.transpose(0, 1, 3, 4, 2).reshape(b, v, h * w, cfg.d_feature)
+        # Depths + densities per ray (channels-last: a plain reshape).
+        features = features.reshape(b, v, h * w, cfg.d_feature)
         features = features.astype(jnp.float32)
         gpp = 1 if deterministic else cfg.gaussians_per_pixel
         depths, densities = DepthPredictorMonocular(

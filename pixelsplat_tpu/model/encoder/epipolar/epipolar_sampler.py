@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ....geometry.epipolar_lines import project_rays
 from ....geometry.projection import get_world_rays, sample_image_grid
-from ....ops.grid_sample import grid_sample
+from ....ops.grid_sample import grid_sample_nhwc
 from ....utils.pairings import generate_heterogeneous_index
 
 
@@ -40,14 +40,14 @@ def _collect_other_views(target: jax.Array, v: int) -> jax.Array:
 
 
 def sample_along_epipolar_lines(
-    images: jax.Array,  # (b, v, c, h, w) feature maps
+    images: jax.Array,  # (b, v, h, w, c) feature maps (channels-last)
     extrinsics: jax.Array,  # (b, v, 4, 4)
     intrinsics: jax.Array,  # (b, v, 3, 3)
     near: jax.Array,  # (b, v)
     far: jax.Array,  # (b, v)
     num_samples: int,
 ) -> EpipolarSampling:
-    b, v, _, h, w = images.shape
+    b, v, h, w, _ = images.shape
     s = num_samples
 
     # Rays through every feature-grid pixel of every view.
@@ -81,9 +81,9 @@ def sample_along_epipolar_lines(
 
     # Sample features from the view each epipolar line lives in.
     _, index_other = generate_heterogeneous_index(v)
-    source_images = images[:, jnp.asarray(index_other)]  # (b, v, ov, c, h, w)
+    source_images = images[:, jnp.asarray(index_other)]  # (b, v, ov, h, w, c)
     coords = 2.0 * xy_sample - 1.0  # (b, v, ov, r, s, 2)
-    sample_fn = jax.vmap(jax.vmap(jax.vmap(grid_sample)))
+    sample_fn = jax.vmap(jax.vmap(jax.vmap(grid_sample_nhwc)))
     features = sample_fn(source_images, coords)  # (b, v, ov, r, s, c)
 
     # Zero out rays that don't overlap the other view at all.

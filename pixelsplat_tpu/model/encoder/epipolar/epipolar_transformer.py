@@ -47,9 +47,9 @@ class _ImageSelfAttentionFF(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, b: int, v: int, h: int, w: int) -> jax.Array:
         c = x.shape[-1]
-        img = x.reshape(b * v, h, w, c).transpose(0, 3, 1, 2)
+        img = x.reshape(b * v, h, w, c)
         img = ImageSelfAttention(self.cfg, c, dtype=self.dtype, name="self_attention")(img) + img
-        return img.transpose(0, 2, 3, 1).reshape(b * v * h * w, 1, c)
+        return img.reshape(b * v * h * w, 1, c)
 
 
 class EpipolarTransformer(nn.Module):
@@ -61,7 +61,7 @@ class EpipolarTransformer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        features: jax.Array,  # (b, v, c, h, w)
+        features: jax.Array,  # (b, v, h, w, c) channels-last
         extrinsics: jax.Array,  # (b, v, 4, 4)
         intrinsics: jax.Array,  # (b, v, 3, 3)
         near: jax.Array,  # (b, v)
@@ -69,10 +69,10 @@ class EpipolarTransformer(nn.Module):
         shuffle_rng: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, EpipolarSampling]:
         cfg = self.cfg
-        b, v, c, h_full, w_full = features.shape
+        b, v, h_full, w_full, c = features.shape
 
         if cfg.downscale:
-            x = features.reshape(b * v, c, h_full, w_full).transpose(0, 2, 3, 1)
+            x = features.reshape(b * v, h_full, w_full, c)
             x = nn.Conv(
                 self.d_in,
                 kernel_size=(cfg.downscale, cfg.downscale),
@@ -81,10 +81,8 @@ class EpipolarTransformer(nn.Module):
                 dtype=self.dtype,
                 name="downscaler",
             )(x)
-            features = x.transpose(0, 3, 1, 2).reshape(
-                b, v, self.d_in, x.shape[1], x.shape[2]
-            )
-        h, w = features.shape[-2:]
+            features = x.reshape(b, v, x.shape[1], x.shape[2], self.d_in)
+        h, w = features.shape[2], features.shape[3]
 
         sampling = sample_along_epipolar_lines(
             features, extrinsics, intrinsics, near, far, cfg.num_samples
@@ -126,7 +124,7 @@ class EpipolarTransformer(nn.Module):
             )
             kv = kv + embed(order)[None, None, :, None, None, :]
 
-        q = features.transpose(0, 1, 3, 4, 2).reshape(b * v * h * w, 1, self.d_in)
+        q = features.reshape(b * v * h * w, 1, self.d_in)
         # kv: (b, v, ov, r, s, c) -> (b*v*r, s*ov, c), matching the
         # reference's "(b v r) (s ov) c" token layout.
         kv = kv.transpose(0, 1, 3, 4, 2, 5).reshape(
@@ -146,10 +144,10 @@ class EpipolarTransformer(nn.Module):
             dtype=self.dtype,
             name="transformer",
         )(q, z=kv, b=b, v=v, h=h, w=w)
-        features = out.reshape(b, v, h, w, self.d_in).transpose(0, 1, 4, 2, 3)
+        features = out.reshape(b, v, h, w, self.d_in)
 
         if cfg.downscale:
-            x = features.reshape(b * v, self.d_in, h, w).transpose(0, 2, 3, 1)
+            x = features.reshape(b * v, h, w, self.d_in)
             x = nn.ConvTranspose(
                 self.d_in,
                 kernel_size=(cfg.downscale, cfg.downscale),
@@ -162,8 +160,6 @@ class EpipolarTransformer(nn.Module):
             y = nn.gelu(y)
             y = nn.Conv(self.d_in, kernel_size=(7, 7), dtype=self.dtype, name="refine2")(y)
             x = x + y
-            features = x.transpose(0, 3, 1, 2).reshape(
-                b, v, self.d_in, h_full, w_full
-            )
+            features = x.reshape(b, v, h_full, w_full, self.d_in)
 
         return features, sampling

@@ -36,9 +36,9 @@ class ImageSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array) -> jax.Array:
-        """image: (b, d_in, h, w) -> (b, d_out, h, w)."""
+        """image: (b, h, w, d_in) -> (b, h, w, d_out) (channels-last)."""
         cfg = self.cfg
-        x = image.transpose(0, 2, 3, 1)  # NHWC
+        x = image
         tokens = nn.Conv(
             cfg.d_token,
             kernel_size=(cfg.patch_size, cfg.patch_size),
@@ -77,4 +77,4 @@ class ImageSelfAttention(nn.Module):
             dtype=self.dtype,
             name="resampler",
         )(tokens)
-        return out.transpose(0, 3, 1, 2)  # NCHW
+        return out

@@ -362,8 +362,9 @@ def test_image_self_attention_conversion():
         d_token=d_token, d_dot=8, d_mlp=32,
     )
     module = ImageSelfAttention(cfg, d_in)
-    x = np.random.default_rng(0).normal(size=(2, d_in, 8, 8)).astype(np.float32)
-    # Verify the converted params have the right structure to apply.
+    x = np.random.default_rng(0).normal(size=(2, 8, 8, d_in)).astype(np.float32)
+    # Verify the converted params have the right structure to apply
+    # (channels-last: the module runs NHWC end to end).
     got = module.apply({"params": params}, jnp.asarray(x))
-    assert got.shape == (2, d_in, 8, 8)
+    assert got.shape == (2, 8, 8, d_in)
     assert bool(jnp.isfinite(got).all())
