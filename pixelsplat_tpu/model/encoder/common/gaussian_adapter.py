@@ -22,7 +22,7 @@ import numpy as np
 
 from ....geometry.projection import get_world_rays
 from ....ops.sh import rotate_sh
-from .gaussians import build_covariance
+from .gaussians import build_world_covariance
 
 
 @dataclass(frozen=True)
@@ -89,11 +89,9 @@ class GaussianAdapter:
         sh = sh.reshape(*sh.shape[:-1], 3, self.d_sh)
         sh = jnp.broadcast_to(sh, (*opacities.shape, 3, self.d_sh)) * self.sh_mask
 
-        covariances = build_covariance(scales, rotations)
         c2w_rotations = extrinsics[..., :3, :3]
-        covariances = jnp.einsum(
-            "...ij,...jk,...lk->...il", c2w_rotations, covariances, c2w_rotations
-        )
+        # Fused (W R) diag(s)^2 (W R)^T without (..., 3, 3) intermediates.
+        covariances = build_world_covariance(scales, rotations, c2w_rotations)
 
         origins, directions = get_world_rays(coordinates, extrinsics, intrinsics)
         means = origins + directions * depths[..., None]

@@ -237,3 +237,31 @@ def test_encoder_bf16_compute_policy(encoder_setup):
     # Means should be very close: same rays, depth head sees slightly
     # different features.
     assert float(jnp.abs(g16.means - g32.means).mean()) < 0.15
+
+
+def test_fused_world_covariance_matches_reference_chain():
+    """build_world_covariance == W (R S^2 R^T) W^T, checked against a
+    float64 numpy chain (jnp.einsum at default precision runs the matmuls
+    in bf16, so it cannot serve as the oracle)."""
+    from pixelsplat_tpu.model.encoder.common.gaussians import (
+        build_world_covariance,
+        quaternion_to_matrix,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    scale = jax.random.uniform(ks[0], (2, 5, 4, 3), minval=0.1, maxval=2.0)
+    quat = jax.random.normal(ks[1], (2, 5, 1, 4))
+    w = jax.random.normal(ks[2], (2, 1, 1, 3, 3))
+
+    got = np.asarray(build_world_covariance(scale, quat, w))
+
+    r64 = np.asarray(quaternion_to_matrix(quat), np.float64)
+    s64 = np.asarray(scale, np.float64)
+    w64 = np.broadcast_to(np.asarray(w, np.float64), (2, 5, 4, 3, 3))
+    r64 = np.broadcast_to(r64, (2, 5, 4, 3, 3))
+    cov = np.einsum("...ik,...k,...jk->...ij", r64, s64**2, r64)
+    ref = w64 @ cov @ np.swapaxes(w64, -1, -2)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    # symmetric by construction
+    np.testing.assert_allclose(got, np.swapaxes(got, -1, -2), rtol=1e-6)
