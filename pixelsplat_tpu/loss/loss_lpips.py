@@ -1,9 +1,11 @@
 """LPIPS perceptual loss, gated off before `apply_after_step`.
 
-Mirrors /root/reference/src/loss/loss_lpips.py. The gate uses a smooth
-jnp.where on the traced global step so the train step stays a single
-compiled program (the reference branches in Python per step instead).
-LPIPS network weights are frozen constants, never part of the gradient.
+Mirrors /root/reference/src/loss/loss_lpips.py. The gate is a `lax.cond`
+on the traced global step: the train step stays a single compiled program
+(the reference branches in Python per step instead), but steps before the
+activation step skip the VGG forward/backward at runtime rather than
+multiplying it by zero. LPIPS network weights are frozen constants, never
+part of the gradient.
 """
 
 from __future__ import annotations
@@ -35,8 +37,16 @@ class LossLpips:
         b, v, c, h, w = image.shape
         pred = prediction.color.reshape(b * v, c, h, w)
         target = image.reshape(b * v, c, h, w)
-        loss = LPIPS().apply(
-            jax.lax.stop_gradient(self.params), pred, target
-        ).mean()
-        active = (global_step >= self.cfg.apply_after_step).astype(loss.dtype)
-        return self.cfg.weight * active * loss
+
+        def run_lpips(_):
+            return LPIPS().apply(
+                jax.lax.stop_gradient(self.params), pred, target
+            ).mean()
+
+        loss = jax.lax.cond(
+            global_step >= self.cfg.apply_after_step,
+            run_lpips,
+            lambda _: jnp.zeros((), pred.dtype),
+            operand=None,
+        )
+        return self.cfg.weight * loss

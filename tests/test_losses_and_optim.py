@@ -25,6 +25,16 @@ def test_lpips_gating():
     assert float(before) == 0.0
     assert float(after) > 0.0
 
+    # The gate must be differentiable under jit on both sides (lax.cond
+    # with closed-over prediction tracers).
+    def f(img, step):
+        return loss(_FakeOutput(img), batch, None, step)
+
+    g_off = jax.jit(jax.grad(f))(pred.color, jnp.asarray(50))
+    g_on = jax.jit(jax.grad(f))(pred.color, jnp.asarray(150))
+    assert float(jnp.abs(g_off).max()) == 0.0
+    assert float(jnp.abs(g_on).max()) > 0.0
+
 
 def test_depth_loss():
     from pixelsplat_tpu.loss import LossDepthCfg
