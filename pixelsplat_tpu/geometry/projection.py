@@ -19,17 +19,24 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Array, Float
+
+# Annotations on this module are live: entry points (and the test suite)
+# install jaxtyping's import hook with a typeguard checker, reproducing
+# the reference's pervasive beartype/jaxtyping runtime harness
+# (/root/reference/src/main.py:16-19). Without the hook they are
+# documentation only and cost nothing.
 from einops import rearrange
 
 _F32_EPS = float(jnp.finfo(jnp.float32).eps)
 
 
-def homogenize_points(points: jax.Array) -> jax.Array:
+def homogenize_points(points: Float[Array, "*batch dim"]) -> Float[Array, "*batch dim_p1"]:
     """Convert batched points (xyz) to (xyz1)."""
     return jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)
 
 
-def homogenize_vectors(vectors: jax.Array) -> jax.Array:
+def homogenize_vectors(vectors: Float[Array, "*batch dim"]) -> Float[Array, "*batch dim_p1"]:
     """Convert batched vectors (xyz) to (xyz0)."""
     return jnp.concatenate([vectors, jnp.zeros_like(vectors[..., :1])], axis=-1)
 
@@ -52,7 +59,7 @@ def transform_world2cam(homogeneous: jax.Array, extrinsics: jax.Array) -> jax.Ar
     return transform_rigid(homogeneous, inverse_se3(extrinsics))
 
 
-def inverse_se3(extrinsics: jax.Array) -> jax.Array:
+def inverse_se3(extrinsics: Float[Array, "*batch 4 4"]) -> Float[Array, "*batch 4 4"]:
     """Invert a batch of rigid-body (SE3) 4x4 matrices in closed form.
 
     Cheaper and better conditioned on TPU than a general 4x4 inverse.
@@ -69,7 +76,7 @@ def inverse_se3(extrinsics: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bottom[..., None, :]], axis=-2)
 
 
-def inverse_intrinsics(intrinsics: jax.Array) -> jax.Array:
+def inverse_intrinsics(intrinsics: Float[Array, "*batch 3 3"]) -> Float[Array, "*batch 3 3"]:
     """Invert a batch of 3x3 upper-triangular intrinsics in closed form."""
     fx = intrinsics[..., 0, 0]
     fy = intrinsics[..., 1, 1]
@@ -125,10 +132,10 @@ def unproject(coordinates: jax.Array, z: jax.Array, intrinsics: jax.Array) -> ja
 
 
 def get_world_rays(
-    coordinates: jax.Array,
-    extrinsics: jax.Array,
-    intrinsics: jax.Array,
-) -> tuple[jax.Array, jax.Array]:
+    coordinates: Float[Array, "*#batch 2"],
+    extrinsics: Float[Array, "*#batch 4 4"],
+    intrinsics: Float[Array, "*#batch 3 3"],
+) -> tuple[Float[Array, "*batch 3"], Float[Array, "*batch 3"]]:
     """Cast world-space rays through normalized image coordinates.
 
     Returns (origins, directions); directions are unit-norm.
