@@ -16,6 +16,23 @@ import jax
 import jax.numpy as jnp
 
 
+class _DenseKernel(nn.Module):
+    """Bare Dense kernel parameter (same path/init as nn.Dense, no apply).
+
+    Lets the cross-attention path read the to_kv weights for the
+    reassociated contraction while staying checkpoint-compatible with a
+    bias-free nn.Dense named "to_kv".
+    """
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+
+
 class Attention(nn.Module):
     """Multi-head attention; self-attention if kv is None else cross."""
 
@@ -29,21 +46,35 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, z: Optional[jax.Array] = None) -> jax.Array:
         inner = self.dim_head * self.heads
-        if z is None:
-            qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-        else:
-            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-            kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="to_kv")(z)
-            k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):
             b, n, _ = t.shape
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
         scale = self.dim_head**-0.5
-        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+        if z is None:
+            qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+            q, k, v = (split_heads(t) for t in jnp.split(qkv, 3, axis=-1))
+            logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+        else:
+            # Cross attention, reassociated so k and v are never
+            # materialized: logits = (q Wk^T) z^T and out = (attn z) Wv.
+            # Exact same math (matmul associativity); on TPU the kv tokens
+            # outnumber queries per pixel, and writing/re-reading
+            # (tokens, heads*dim_head) k/v arrays was pure HBM traffic.
+            q = split_heads(
+                nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            )
+            kv_dim = z.shape[-1]
+            kv_kernel = _DenseKernel((kv_dim, inner * 2), name="to_kv")()
+            if self.dtype is not None:
+                kv_kernel = kv_kernel.astype(self.dtype)
+                z = z.astype(self.dtype)
+            wk = kv_kernel[:, :inner].reshape(kv_dim, self.heads, self.dim_head)
+            wv = kv_kernel[:, inner:].reshape(kv_dim, self.heads, self.dim_head)
+            q_proj = jnp.einsum("bhid,chd->bhic", q, wk)  # (b, h, nq, kv_dim)
+            logits = jnp.einsum("bhic,bjc->bhij", q_proj, z) * scale
+
         attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         if self.dtype is not None:
             attn = attn.astype(self.dtype)
@@ -51,7 +82,11 @@ class Attention(nn.Module):
         # hooks the softmax module; here `sow` is free unless the
         # "intermediates" collection is requested).
         self.sow("intermediates", "attention", attn)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        if z is None:
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        else:
+            ctx = jnp.einsum("bhij,bjc->bhic", attn, z)  # (b, h, nq, kv_dim)
+            out = jnp.einsum("bhic,chd->bhid", ctx, wv)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
 
