@@ -29,6 +29,7 @@ import flax.linen as nn
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 RESNET_SPECS: dict[str, tuple[str, tuple[int, ...]]] = {
     "resnet18": ("basic", (2, 2, 2, 2)),
@@ -142,30 +143,40 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Dense align_corners=True bilinear interpolation matrix (n_out, n_in)."""
+    m = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        m[:, 0] = 1.0
+        return m
+    coords = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(coords).astype(np.int64), 0, n_in - 1)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    frac = (coords - lo).astype(np.float32)
+    m[np.arange(n_out), lo] += 1.0 - frac
+    m[np.arange(n_out), hi] += frac
+    return m
+
+
 def _bilinear_resize(x: jax.Array, shape: tuple[int, int]) -> jax.Array:
     """align_corners=True bilinear resize (matches the reference's
-    F.interpolate(..., align_corners=True))."""
+    F.interpolate(..., align_corners=True)).
+
+    Implemented as two compile-time-constant matrix contractions on the
+    MXU; the gather-based formulation cost ~0.8 ms per scale per axis on
+    TPU for the backbone's (2, h, w, 512) feature maps.
+    """
     b, h, w, c = x.shape
     h_out, w_out = shape
     if (h, w) == (h_out, w_out):
         return x
-
-    def axis_coords(n_in, n_out):
-        if n_out == 1:
-            return jnp.zeros((1,), jnp.float32)
-        return jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-
-    ys = axis_coords(h, h_out)
-    xs = axis_coords(w, w_out)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    if h != h_out:
+        mh = jnp.asarray(_resize_matrix(h, h_out))
+        x = jnp.einsum("oh,bhwc->bowc", mh, x, precision=jax.lax.Precision.HIGHEST)
+    if w != w_out:
+        mw = jnp.asarray(_resize_matrix(w, w_out))
+        x = jnp.einsum("ow,bhwc->bhoc", mw, x, precision=jax.lax.Precision.HIGHEST)
+    return x
 
 
 class BackboneResnet(nn.Module):
