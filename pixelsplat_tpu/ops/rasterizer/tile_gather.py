@@ -48,23 +48,48 @@ def _segment_bounds_searchsorted(sorted_idx: jax.Array, rows: int) -> jax.Array:
 
 
 def _segment_bounds_merge(sorted_idx: jax.Array, rows: int) -> jax.Array:
-    """bounds[i] = #sorted_idx < i, via one stable two-key sort.
+    """bounds[i] = #sorted_idx < i, via two single-array merge sorts.
 
-    Probes (tag 0) merge in front of equal data keys (tag 1); a second,
-    single-key sort by tag compresses the probes back out front in key
-    order, so each probe's merged position minus its rank is its bound.
+    Probes merge in front of equal data keys; a second sort compresses
+    the probes back out front in key order, so each probe's merged
+    position minus its rank is its bound. Tags and positions are packed
+    into the sort keys' low bits (a separate payload array rides through
+    every bitonic pass, ~2x the sort cost), falling back to multi-array
+    sorts when the packed key would overflow int32.
     """
     n = sorted_idx.shape[0]
+    merged = n + rows + 1
     probes = jnp.arange(rows + 1, dtype=sorted_idx.dtype)
+    pos_bits = max(merged - 1, 1).bit_length()
+    packable = (
+        sorted_idx.dtype == jnp.int32
+        and (rows + 1) << 1 < 2**31
+        and (1 << (pos_bits + 1)) < 2**31
+    )
+    if packable:
+        # Sort 1: key2 = key << 1 | tag; probes (tag 0) sort before equal
+        # data keys. Sort 2: key3 = tag << pos_bits | merged_pos; probes
+        # come out first, in merged (== key) order.
+        key2 = jnp.concatenate(
+            [(sorted_idx << 1) | 1, probes << 1]
+        )
+        (skey2,) = jax.lax.sort((key2,), num_keys=1, is_stable=False)
+        tags = skey2 & 1
+        key3 = (tags << pos_bits) | jnp.arange(merged, dtype=jnp.int32)
+        (skey3,) = jax.lax.sort((key3,), num_keys=1, is_stable=False)
+        probe_merged = skey3[: rows + 1] & ((1 << pos_bits) - 1)
+        return probe_merged - probes.astype(jnp.int32)
+
     keys = jnp.concatenate([sorted_idx, probes])
     tags = jnp.concatenate(
         [jnp.ones(n, jnp.int32), jnp.zeros(rows + 1, jnp.int32)]
     )
-    _, stags, smpos = jax.lax.sort(
-        (keys, tags, jnp.arange(n + rows + 1, dtype=jnp.int32)), num_keys=2
+    _, stags, _ = jax.lax.sort(
+        (keys, tags, jnp.arange(merged, dtype=jnp.int32)), num_keys=2
     )
-    merged_pos = jnp.arange(n + rows + 1, dtype=jnp.int32)
-    _, probe_merged = jax.lax.sort((stags, merged_pos), num_keys=1)
+    _, probe_merged = jax.lax.sort(
+        (stags, jnp.arange(merged, dtype=jnp.int32)), num_keys=1
+    )
     return probe_merged[: rows + 1] - probes.astype(jnp.int32)
 
 
@@ -85,7 +110,10 @@ def _gather_rows_bwd(residuals, d_out):
         bounds = _segment_bounds_merge(sorted_idx, rows)
     else:
         bounds = _segment_bounds_searchsorted(sorted_idx, rows)
-    d_packed = csum[bounds[1:]] - csum[bounds[:-1]]
+    # One gather + diff, not two gathers (each row gather of (rows, f)
+    # from the prefix table costs ~2.5 ms at production scale).
+    at_bounds = csum[bounds]
+    d_packed = at_bounds[1:] - at_bounds[:-1]
     return d_packed, None
 
 
