@@ -161,3 +161,52 @@ def bin_gaussians(
         valid=tile_valid,
         overflow=overflow,
     )
+
+
+def tile_occupancy(
+    projected: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    tile_size: int = 16,
+    span: int = 2,
+    big_capacity: int = 256,
+) -> jax.Array:
+    """Exact maximum per-tile list length this scene would produce.
+
+    A cheap pre-pass for occupancy-adaptive rendering (adaptive.py): one
+    single-key sort of the tile ids (no ranks, no payload), segment
+    lengths via searchsorted, plus the big-Gaussian contribution (each of
+    the nearest `big_capacity` big ones joins every tile's list).
+    """
+    h, w = image_shape
+    tiles_x = -(-w // tile_size)
+    tiles_y = -(-h // tile_size)
+    num_tiles = tiles_x * tiles_y
+    g = projected.depth.shape[0]
+
+    mean_x, mean_y = projected.mean_x, projected.mean_y
+    radius = projected.radius
+    valid = projected.valid
+    x0 = jnp.clip(jnp.floor((mean_x - radius) / tile_size), 0, tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((mean_x + radius) / tile_size), 0, tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((mean_y - radius) / tile_size), 0, tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((mean_y + radius) / tile_size), 0, tiles_y - 1)
+    x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
+    span_x = x1 - x0 + 1
+    span_y = y1 - y0 + 1
+    small = valid & (span_x <= span) & (span_y <= span)
+    n_big = (valid & ~small).sum()
+
+    keys = []
+    for slot in range(span * span):
+        dx, dy = slot % span, slot // span
+        slot_ok = small & (dx < span_x) & (dy < span_y)
+        tile_id = (y0 + dy) * tiles_x + (x0 + dx)
+        keys.append(jnp.where(slot_ok, tile_id, num_tiles))
+    (sorted_ids,) = jax.lax.sort(
+        (jnp.concatenate(keys),), num_keys=1, is_stable=False
+    )
+    bounds = jnp.searchsorted(
+        sorted_ids, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    )
+    counts = bounds[1:] - bounds[:-1]
+    return counts.max() + jnp.minimum(n_big, big_capacity)
