@@ -20,6 +20,10 @@ from ...ops.rasterizer import RenderSettings, render, render_depth
 from ...ops.rasterizer.render import DepthRenderingMode
 from ..types import Gaussians
 
+# Unroll per-view rendering up to this many views (XLA overlaps the
+# independent pipelines); beyond it, lax.map bounds compile time.
+UNROLL_MAX_VIEWS = 8
+
 
 class DecoderOutput(NamedTuple):
     color: jax.Array  # (b, v, 3, h, w)
@@ -50,9 +54,12 @@ class DecoderSplatting:
         image_shape: tuple[int, int],
         depth_mode: Optional[DepthRenderingMode] = None,
     ) -> DecoderOutput:
-        # Sequential maps instead of vmap: batching the sort/gather-heavy
-        # rasterizer costs ~1.6x per view on TPU, and the Gaussians stay
-        # broadcast (closed over) rather than copied per view.
+        # Sequential rendering instead of vmap: batching the
+        # sort/gather-heavy rasterizer costs ~1.6x per view on TPU, and
+        # the Gaussians stay broadcast (closed over) rather than copied
+        # per view. Small view counts unroll (XLA overlaps the
+        # independent per-view pipelines: 160 -> 141 ms for 4 views
+        # fwd+bwd); larger ones use lax.map to bound compile time.
         def render_batch_element(element):
             e_v, k_v, n_v, f_v, means, covs, sh, op = element
 
@@ -72,6 +79,14 @@ class DecoderSplatting:
                     settings=self.cfg.render,
                 )[0]
 
+            v = e_v.shape[0]
+            if v <= UNROLL_MAX_VIEWS:
+                return jnp.stack(
+                    [
+                        render_one_view((e_v[i], k_v[i], n_v[i], f_v[i]))
+                        for i in range(v)
+                    ]
+                )
             return jax.lax.map(render_one_view, (e_v, k_v, n_v, f_v))
 
         color = jax.lax.map(
@@ -107,6 +122,15 @@ class DecoderSplatting:
                         mode=depth_mode,
                         settings=self.cfg.render,
                     )[0]
+
+                v = e_v.shape[0]
+                if v <= UNROLL_MAX_VIEWS:
+                    return jnp.stack(
+                        [
+                            depth_one_view((e_v[i], k_v[i], n_v[i], f_v[i]))
+                            for i in range(v)
+                        ]
+                    )
 
                 return jax.lax.map(depth_one_view, (e_v, k_v, n_v, f_v))
 
