@@ -33,23 +33,16 @@ F = 16  # parameter rows in the packed layout
 CH_PAD = 8
 
 
-def build_tile_params(
-    projected: ProjectedGaussians,
-    tiles: TileLists,
-    chunk: int = 128,
-) -> tuple[jax.Array, jax.Array]:
-    """Gather per-tile, depth-ordered parameters into (T, F, Kpad).
+def pack_columns(projected: ProjectedGaussians) -> jax.Array:
+    """Pack per-Gaussian parameter columns into one (g+1, F) f32 matrix.
 
-    All parameter columns are packed into one (g+1, F) matrix first (the
-    last row is the zero sentinel invalid list slots point to), so the
+    The last row is the zero sentinel invalid list slots point to, so the
     whole per-tile assembly is a single row gather — per-column gathers
     were ~45 ms/frame at production scale. Differentiable w.r.t. the
-    projected Gaussian arrays (the gather's backward is a scatter-add,
-    as in the CUDA backward's atomics).
+    projected Gaussian arrays.
     """
     ch = projected.color.shape[0]
     assert ch <= 6  # channels 6-7 carry n_proc + transmittance
-    g = projected.depth.shape[0]
     op = jnp.where(projected.valid, projected.opacity, 0.0)
     cols = [
         projected.mean_x,
@@ -61,7 +54,32 @@ def build_tile_params(
     ]
     cols += [projected.color[i] for i in range(ch)]
     packed = jnp.stack(cols, axis=-1)  # (g, 6+ch)
-    packed = jnp.pad(packed, ((0, 1), (0, F - packed.shape[-1])))  # (g+1, F)
+    return jnp.pad(packed, ((0, 1), (0, F - packed.shape[-1])))  # (g+1, F)
+
+
+def pack_table_u16(packed: jax.Array) -> jax.Array:
+    """(rows, F) f32 -> (rows, 2F) u16 as [high halves | low halves].
+
+    XLA's TPU gather runs ~10x faster on 16-bit rows than 32-bit ones
+    (tools/bench_gather.py); the kernels reassemble exact f32 in VMEM.
+    """
+    bits = jax.lax.bitcast_convert_type(packed, jnp.uint16)  # (rows, F, 2)
+    # XLA bitcast-convert puts the low-order bits at minor index 0.
+    return jnp.concatenate([bits[..., 1], bits[..., 0]], axis=-1)
+
+
+def build_tile_params(
+    projected: ProjectedGaussians,
+    tiles: TileLists,
+    chunk: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """Gather per-tile, depth-ordered parameters into (T, F, Kpad) f32.
+
+    The XLA-backend path (CPU tests / non-default tile shapes); the
+    Pallas path uses `_composite_packed` below instead.
+    """
+    g = projected.depth.shape[0]
+    packed = pack_columns(projected)
 
     if jax.default_backend() == "cpu":
         rows = packed[tiles.indices]  # (T, K, F) — one gather
@@ -134,45 +152,56 @@ def _xla_composite_core(
 
 
 # ---------------------------------------------------------------------------
-# Pallas forward with recompute (XLA) backward.
+# Pallas pipeline: one custom-VJP boundary spanning u16 pack -> row gather
+# -> compositing kernel, so no f32 gather or (T, F, K) transpose ever
+# materializes (both are ~10x slower than their u16 / gather-free
+# equivalents on TPU; see tile_gather.fast_gather_rows).
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _composite_core(params_t, counts, tiles_x):
-    return _composite_core_fwd(params_t, counts, tiles_x)[0]
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _composite_packed(packed, idx_flat, counts, tiles_x):
+    """packed: (g+1, F) f32 parameter table; idx_flat: (T*Kpad,) int32
+    per-tile depth-ordered row ids (sentinel g for empty slots), Kpad a
+    multiple of the kernel chunk. Returns (acc (T,P,CH_PAD), trans (T,P)).
+    """
+    return _composite_packed_fwd(packed, idx_flat, counts, tiles_x)[0]
 
 
-def _composite_core_fwd(params_t, counts, tiles_x):
-    if jax.default_backend() == "cpu":
-        acc, trans = _xla_composite_core(params_t, counts, tiles_x)
-        n_proc = None
-    else:
-        from .pallas_composite import pallas_composite_core
+def _gather_params_u16(packed, idx_flat, num_tiles):
+    from .pallas_composite import F as PF
 
-        acc, trans, n_proc = pallas_composite_core(params_t, counts, tiles_x)
-    return (acc, trans), (params_t, counts, n_proc, trans)
+    table_u = pack_table_u16(packed)  # (g+1, 2F) u16
+    rows_u = table_u[idx_flat]  # (T*Kpad, 2F) — 16-bit fast-path gather
+    # The transpose to the kernel's (T, 2F, Kpad) layout fuses into the
+    # gather's output layout assignment (measured free on v5e).
+    return rows_u.reshape(num_tiles, -1, 2 * PF).transpose(0, 2, 1)
 
 
-def _composite_core_bwd(tiles_x, residuals, cotangents):
-    params_t, counts, n_proc, trans = residuals
+def _composite_packed_fwd(packed, idx_flat, counts, tiles_x):
+    from .pallas_composite import pallas_composite_core
+
+    num_tiles = counts.shape[0]
+    params_u = _gather_params_u16(packed, idx_flat, num_tiles)
+    acc, trans, n_proc = pallas_composite_core(params_u, counts, tiles_x)
+    residuals = (params_u, idx_flat, n_proc, trans, packed.shape[0])
+    return (acc, trans), residuals
+
+
+def _composite_packed_bwd(tiles_x, residuals, cotangents):
+    from .pallas_backward import pallas_composite_bwd
+    from .pallas_composite import NPROC_CH, TRANS_CH
+    from .tile_gather import segment_sum_rows
+
+    params_u, idx_flat, n_proc, trans, rows = residuals
     g_acc, g_trans = cotangents
-    if n_proc is None:
-        _, vjp_fn = jax.vjp(
-            lambda p: _xla_composite_core(p, counts, tiles_x), params_t
-        )
-        (d_params,) = vjp_fn(cotangents)
-    else:
-        from .pallas_backward import pallas_composite_bwd
-        from .pallas_composite import NPROC_CH, TRANS_CH
-
-        packed_g = (
-            g_acc.at[..., NPROC_CH].set(trans).at[..., TRANS_CH].set(g_trans)
-        )
-        d_params = pallas_composite_bwd(params_t, n_proc, packed_g, tiles_x)
-    return d_params, None
+    packed_g = g_acc.at[..., NPROC_CH].set(trans).at[..., TRANS_CH].set(g_trans)
+    d_params = pallas_composite_bwd(params_u, n_proc, packed_g, tiles_x)
+    d_rows = d_params.transpose(0, 2, 1).reshape(-1, F)  # (T*Kpad, F)
+    d_packed = segment_sum_rows(d_rows, idx_flat, rows)
+    return d_packed, None, None
 
 
-_composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
+_composite_packed.defvjp(_composite_packed_fwd, _composite_packed_bwd)
 
 
 def composite_tiles(
@@ -191,15 +220,23 @@ def composite_tiles(
     channels = projected.color.shape[0]
     num_tiles = tiles.indices.shape[0]
     p = tile_size * tile_size
+    g = projected.depth.shape[0]
 
-    params_t, counts = build_tile_params(projected, tiles, chunk=chunk)
-
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and tile_size == 16 and chunk == 128
+    use_pallas = jax.default_backend() != "cpu" and (
+        backend == "pallas"
+        or (backend == "auto" and tile_size == 16 and chunk == 128)
     )
     if use_pallas:
-        acc, trans = _composite_core(params_t, counts, tiles_x)
+        packed = pack_columns(projected)
+        idx = tiles.indices  # (T, K)
+        k_ = idx.shape[-1]
+        idx = jnp.pad(idx, ((0, 0), (0, (-k_) % chunk)), constant_values=g)
+        counts = (tiles.indices < g).sum(axis=1).astype(jnp.int32)
+        acc, trans = _composite_packed(
+            packed, idx.reshape(-1), counts, tiles_x
+        )
     else:
+        params_t, counts = build_tile_params(projected, tiles, chunk=chunk)
         acc, trans = _xla_composite_core(
             params_t, counts, tiles_x, tile_size=tile_size, chunk=chunk
         )

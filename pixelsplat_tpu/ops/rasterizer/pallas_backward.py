@@ -15,7 +15,10 @@ Gradient formulas (per pixel, g = dL/dacc, gT = dL/dtrans):
 then through alpha_i = min(0.99, op_i exp(power_i)) (zero where the
 forward masked or clamped) to (d op, d conic, d mean2d).
 
-Input packing (TPU block-tiling needs (P, CH_PAD)-shaped VMEM blocks):
+Input parameters arrive in the forward's (T, 2F, K) u16 split-half layout
+(see pallas_composite.py); gradients leave as (T, F, K) f32.
+
+Cotangent packing (TPU block-tiling needs (P, CH_PAD)-shaped VMEM blocks):
 `packed_g` is (T, P, CH_PAD) with color cotangents in channels [0..5],
 the forward's final transmittance in channel NPROC_CH and the
 transmittance cotangent in channel TRANS_CH. The forward's per-tile
@@ -42,17 +45,18 @@ from .pallas_composite import (
     P,
     TILE,
     TRANS_CH,
+    unpack_rows,
 )
 
 
 def _bwd_kernel(
     n_proc_ref,  # SMEM (T,) chunks the forward processed
     tiles_x_ref,  # SMEM (1,)
-    params_hbm,  # ANY (T, F, K)
+    params_hbm,  # ANY (T, 2F, K) u16
     packed_g_ref,  # VMEM (1, P, CH_PAD)
-    d_params_hbm,  # ANY out (T, F, K)
-    in_scratch,  # VMEM (2, F, C)
-    out_scratch,  # VMEM (2, F, C)
+    d_params_hbm,  # ANY out (T, F, K) f32
+    in_scratch,  # VMEM (2, 2F, C) u16
+    out_scratch,  # VMEM (2, F, C) f32
     in_sems,  # DMA (2,)
     out_sems,  # DMA (2,)
 ):
@@ -113,7 +117,7 @@ def _bwd_kernel(
             get_in_dma((k + 1) % 2, i - 1).start()
 
         get_in_dma(slot, i).wait()
-        chunk = in_scratch[slot]  # (F, C)
+        chunk = unpack_rows(in_scratch[slot])  # (F, C) f32
 
         mx = chunk[0, :][:, None]
         my = chunk[1, :][:, None]
@@ -221,15 +225,15 @@ def _bwd_kernel(
 
 
 def pallas_composite_bwd(
-    params_t: jax.Array,  # (T, F, Kpad)
+    params_u: jax.Array,  # (T, 2F, Kpad) u16 split-half layout
     n_proc: jax.Array,  # (T,) chunks processed by the forward
     packed_g: jax.Array,  # (T, P, CH_PAD): see module docstring
     tiles_x: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns d_params with the same (T, F, Kpad) layout."""
-    num_tiles, f, kpad = params_t.shape
-    assert f == F and kpad % C == 0
+    """Returns d_params as (T, F, Kpad) f32."""
+    num_tiles, f2, kpad = params_u.shape
+    assert f2 == 2 * F and kpad % C == 0 and params_u.dtype == jnp.uint16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -242,7 +246,7 @@ def pallas_composite_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, F, C), jnp.float32),
+            pltpu.VMEM((2, 2 * F, C), jnp.uint16),
             pltpu.VMEM((2, F, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -259,6 +263,6 @@ def pallas_composite_bwd(
     )(
         n_proc,
         jnp.asarray([tiles_x], jnp.int32),
-        params_t,
+        params_u,
         packed_g,
     )

@@ -1,12 +1,19 @@
 """Pallas TPU kernel for front-to-back tile compositing.
 
 One grid program per 16x16 tile. The depth-sorted per-tile Gaussian
-parameters live in HBM as (tiles, 16, K) — K on the lane axis — and are
-streamed in (16, 128) chunks with double-buffered DMA. Per chunk:
+parameters live in HBM as (tiles, 2F, K) uint16 — each f32 parameter
+split into 16-bit halves (rows [0,F) are the high halves of the F
+parameters, rows [F,2F) the low halves) — and are streamed in (2F, C)
+chunks with double-buffered DMA. The u16 split exists because XLA's TPU
+gather that produces this array runs ~10x faster on 16-bit rows than on
+32-bit ones (tools/bench_gather.py: 21.4 ms -> 2.1 ms at 1.05M rows),
+and the post-gather transpose to row-major fuses into the gather's
+output layout; the kernel reassembles exact f32 with a shift per chunk.
+Per chunk:
 
 * alpha for all 256 tile pixels at once on the VPU;
 * the ordered (exclusive) transmittance prefix along the chunk is a
-  strictly-lower-triangular matmul in log space — an MXU (128,128)@(128,256)
+  strictly-lower-triangular matmul in log space — an MXU (C,C)@(C,P)
   contraction instead of a serial scan;
 * color accumulation is a second MXU matmul.
 
@@ -14,7 +21,7 @@ The chunk loop is a `lax.while_loop` that stops early once every pixel's
 transmittance drops below 1e-4 — the data-dependent early exit the CUDA
 kernel relies on and XLA cannot express.
 
-Parameter row layout (16, K): 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c,
+Parameter rows (F=16): 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c,
 5 opacity (zeroed for invalid/padding entries), 6..6+ch colors (ch <= 6),
 rest zero padding.
 
@@ -46,12 +53,20 @@ MAX_ALPHA = 0.99
 MIN_ALPHA = 1.0 / 255.0
 
 
+def unpack_rows(chunk_u16: jax.Array) -> jax.Array:
+    """(2F, ...) u16 [hi; lo] half rows -> (F, ...) f32, bit-exact."""
+    f = chunk_u16.shape[0] // 2
+    hi = chunk_u16[:f].astype(jnp.uint32)
+    lo = chunk_u16[f:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+
+
 def _kernel(
     counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
     tiles_x_ref,  # SMEM (1,) int32 — scalar prefetch
-    params_hbm,  # ANY (num_tiles, F, K)
+    params_hbm,  # ANY (num_tiles, 2F, K) u16
     out_ref,  # VMEM out (1, P, CH_PAD)
-    scratch,  # VMEM (2, F, C)
+    scratch,  # VMEM (2, 2F, C) u16
     sems,  # DMA semaphores (2,)
 ):
     t = pl.program_id(0)
@@ -96,7 +111,7 @@ def _kernel(
             get_dma((i + 1) % 2, i + 1).start()
 
         get_dma(slot, i).wait()
-        chunk = scratch[slot]  # (F, C)
+        chunk = unpack_rows(scratch[slot])  # (F, C) f32
 
         mx = chunk[0, :][:, None]  # (C, 1)
         my = chunk[1, :][:, None]
@@ -143,14 +158,14 @@ def _kernel(
 
 
 def pallas_composite_core(
-    params_t: jax.Array,  # (num_tiles, F, Kpad) float32, Kpad % 128 == 0
+    params_u: jax.Array,  # (num_tiles, 2F, Kpad) u16, Kpad % C == 0
     counts: jax.Array,  # (num_tiles,) int32
     tiles_x: int,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (acc (T, P, CH_PAD), trans (T, P), n_processed (T,))."""
-    num_tiles, f, kpad = params_t.shape
-    assert f == F and kpad % C == 0
+    num_tiles, f2, kpad = params_u.shape
+    assert f2 == 2 * F and kpad % C == 0 and params_u.dtype == jnp.uint16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -160,7 +175,7 @@ def pallas_composite_core(
             (1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, F, C), jnp.float32),
+            pltpu.VMEM((2, 2 * F, C), jnp.uint16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -172,7 +187,7 @@ def pallas_composite_core(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(counts, jnp.asarray([tiles_x], jnp.int32), params_t)
+    )(counts, jnp.asarray([tiles_x], jnp.int32), params_u)
     trans = packed[:, :, TRANS_CH]
     n_proc = packed[:, 0, NPROC_CH].astype(jnp.int32)
     acc = packed.at[:, :, NPROC_CH].set(0.0).at[:, :, TRANS_CH].set(0.0)

@@ -33,14 +33,37 @@ import jax.numpy as jnp
 BOUNDS_MODE = "merge"
 
 
+def fast_gather_rows(table: jax.Array, indices: jax.Array) -> jax.Array:
+    """Bit-exact `table[indices]` via a uint16 bitcast.
+
+    XLA's TPU gather emitter is ~10x slower for 32-bit element types than
+    for 16-bit ones (measured on v5e, tools/bench_gather.py: 1.05M rows of
+    (g, 16) f32 take 21.4 ms; the same bytes as flat (g, 32) u16 rows take
+    2.1 ms at ~32 GB/s). The table is split once into [high-halves |
+    low-halves] column blocks — keeping the gathered rows 2-D, since a
+    (g, f, 2) table shape falls off the fast path (90 ms) and a post-
+    gather minor-dim reshape costs another ~4 ms — and the f32 rows are
+    rebuilt with shifts, preserving every bit.
+    """
+    assert table.dtype.itemsize == 4, table.dtype
+    bits = jax.lax.bitcast_convert_type(table, jnp.uint16)  # (rows, f, 2)
+    # XLA bitcast-convert puts the low-order bits at minor index 0.
+    u = jnp.concatenate([bits[..., 1], bits[..., 0]], axis=-1)  # (rows, 2f)
+    rows = u[indices]  # (..., 2f)
+    f = table.shape[-1]
+    hi = rows[..., :f].astype(jnp.uint32)
+    lo = rows[..., f:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((hi << 16) | lo, table.dtype)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=())
 def gather_rows(packed: jax.Array, indices: jax.Array) -> jax.Array:
     """packed: (rows, f); indices: (...,) int32 in [0, rows) -> (..., f)."""
-    return packed[indices]
+    return fast_gather_rows(packed, indices)
 
 
 def _gather_rows_fwd(packed, indices):
-    return packed[indices], (indices, packed.shape[0])
+    return fast_gather_rows(packed, indices), (indices, packed.shape[0])
 
 
 def _segment_bounds_searchsorted(sorted_idx: jax.Array, rows: int) -> jax.Array:
@@ -93,16 +116,18 @@ def _segment_bounds_merge(sorted_idx: jax.Array, rows: int) -> jax.Array:
     return probe_merged[: rows + 1] - probes.astype(jnp.int32)
 
 
-def _gather_rows_bwd(residuals, d_out):
-    indices, rows = residuals
-    f = d_out.shape[-1]
+def segment_sum_rows(
+    d_rows: jax.Array, indices: jax.Array, rows: int
+) -> jax.Array:
+    """sum of d_rows (n, f) into (rows, f) by index — the scatter-add the
+    CUDA backward does with atomics, as sort + prefix-sum differences."""
+    n, f = d_rows.shape
     flat = indices.reshape(-1).astype(jnp.int32)
-    n = flat.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     # Unstable: ties (same output row) are summed anyway, and XLA's stable
     # sort carries an extra tiebreaker array through every pass.
     sorted_idx, perm = jax.lax.sort((flat, pos), num_keys=1, is_stable=False)
-    sorted_rows = d_out.reshape(n, f)[perm]
+    sorted_rows = fast_gather_rows(d_rows, perm)
     csum = jnp.concatenate(
         [jnp.zeros((1, f), sorted_rows.dtype), jnp.cumsum(sorted_rows, axis=0)]
     )
@@ -112,8 +137,14 @@ def _gather_rows_bwd(residuals, d_out):
         bounds = _segment_bounds_searchsorted(sorted_idx, rows)
     # One gather + diff, not two gathers (each row gather of (rows, f)
     # from the prefix table costs ~2.5 ms at production scale).
-    at_bounds = csum[bounds]
-    d_packed = at_bounds[1:] - at_bounds[:-1]
+    at_bounds = fast_gather_rows(csum, bounds)
+    return at_bounds[1:] - at_bounds[:-1]
+
+
+def _gather_rows_bwd(residuals, d_out):
+    indices, rows = residuals
+    f = d_out.shape[-1]
+    d_packed = segment_sum_rows(d_out.reshape(-1, f), indices, rows)
     return d_packed, None
 
 

@@ -5,12 +5,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pixelsplat_tpu.ops.rasterizer.composite import _xla_composite_core
+from pixelsplat_tpu.ops.rasterizer.composite import (
+    _xla_composite_core,
+    pack_table_u16,
+)
 from pixelsplat_tpu.ops.rasterizer.pallas_backward import pallas_composite_bwd
 from pixelsplat_tpu.ops.rasterizer.pallas_composite import (
     NPROC_CH,
     TRANS_CH,
     pallas_composite_core,
+    unpack_rows,
 )
 
 T, F, K = 2, 16, 256
@@ -29,15 +33,28 @@ def scene():
     params[:, 6:9] = rng.uniform(0, 1, (T, 3, K))
     counts = np.asarray([K, K // 2], np.int32)
     # Zero opacity beyond each tile's count (the contract from
-    # build_tile_params).
+    # the per-tile list assembly).
     params[1, 5, K // 2 :] = 0.0
     return jnp.asarray(params), jnp.asarray(counts)
+
+
+def to_u16(params):
+    """(T, F, K) f32 oracle layout -> (T, 2F, K) u16 kernel layout."""
+    return pack_table_u16(params.transpose(0, 2, 1)).transpose(0, 2, 1)
+
+
+def test_u16_roundtrip_is_bit_exact(scene):
+    params, _ = scene
+    back = jax.vmap(unpack_rows)(to_u16(params))
+    assert (
+        np.asarray(back).view(np.uint32) == np.asarray(params).view(np.uint32)
+    ).all()
 
 
 def test_forward_matches_xla(scene):
     params, counts = scene
     acc_p, trans_p, n_proc = pallas_composite_core(
-        params, counts, TILES_X, interpret=True
+        to_u16(params), counts, TILES_X, interpret=True
     )
     acc_x, trans_x = _xla_composite_core(params, counts, TILES_X)
     np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_x), atol=2e-4)
@@ -57,13 +74,13 @@ def test_backward_matches_xla_autodiff(scene):
     # Drive the pallas backward with the same cotangents the XLA loss
     # produces: dL/dacc = 2*acc (channels 0..2), dL/dtrans = 0.3.
     acc, trans, n_proc = pallas_composite_core(
-        params, counts, TILES_X, interpret=True
+        to_u16(params), counts, TILES_X, interpret=True
     )
     g_acc = (2.0 * acc).at[..., 3:].set(0.0)
     g_trans = jnp.full_like(trans, 0.3)
     packed_g = g_acc.at[..., NPROC_CH].set(trans).at[..., TRANS_CH].set(g_trans)
     g_pallas = pallas_composite_bwd(
-        params, n_proc, packed_g, TILES_X, interpret=True
+        to_u16(params), n_proc, packed_g, TILES_X, interpret=True
     )
 
     gx = np.asarray(g_xla)
@@ -80,7 +97,7 @@ def test_empty_tile(scene):
     params, _ = scene
     counts = jnp.asarray([0, 0], jnp.int32)
     acc, trans, n_proc = pallas_composite_core(
-        params, counts, TILES_X, interpret=True
+        to_u16(params), counts, TILES_X, interpret=True
     )
     np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(trans), 1.0, atol=1e-7)

@@ -1,0 +1,91 @@
+"""Device-timeline profile of the bench.py render burst.
+
+Traces one burst with jax.profiler, parses the perfetto JSON
+(*.trace.json.gz), and prints per-op device time for the TPU track,
+aggregated by op name prefix.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from bench import main as _unused  # noqa: F401  (reuse scene setup below)
+    from pixelsplat_tpu.ops.rasterizer import RenderSettings, render
+
+    g = 2 * 256 * 256 * 3
+    rng = np.random.default_rng(0)
+    means = np.stack(
+        [rng.uniform(-2, 2, g), rng.uniform(-2, 2, g), rng.uniform(1.2, 12, g)],
+        axis=-1,
+    ).astype(np.float32)
+    axes = rng.normal(size=(g, 3, 3)).astype(np.float32) * 0.01
+    covs = axes @ axes.transpose(0, 2, 1) + 1e-6 * np.eye(3, dtype=np.float32)
+    sh = (rng.normal(size=(g, 3, 25)) * 0.1).astype(np.float32)
+    opac = rng.uniform(0.05, 0.6, g).astype(np.float32)
+    intr = jnp.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])
+    settings = RenderSettings(capacity=4096, big_capacity=128, chunk=128)
+    args = (
+        jnp.eye(4)[None], intr[None], jnp.ones(1), jnp.full((1,), 100.0),
+        jnp.zeros((1, 3)), jnp.asarray(means)[None], jnp.asarray(covs)[None],
+        jnp.asarray(sh)[None], jnp.asarray(opac)[None],
+    )
+    cam_shifts = jnp.linspace(-0.2, 0.2, 5)
+
+    @jax.jit
+    def burst(e, k, nr, f, bg, m, c, s, o):
+        def one(shift):
+            e2 = e.at[:, 0, 3].add(shift)
+            img = render(e2, k, nr, f, (256, 256), bg, m, c, s, o,
+                         settings=settings)
+            return img[0, 0, 0, 0]
+
+        return jax.lax.map(one, cam_shifts).sum()
+
+    np.asarray(burst(*args))  # compile
+    trace_dir = "/tmp/render_trace"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        r = burst(*args)
+        np.asarray(r)
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    assert files, "no trace produced"
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+
+    events = trace["traceEvents"]
+    # Find TPU device pids.
+    tpu_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if "TPU" in name and "XLA" not in name.upper():
+                tpu_pids.add(e["pid"])
+    by_op = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            dur = e.get("dur", 0) / 1e3  # us -> ms
+            name = e.get("name", "?")
+            by_op[name] += dur
+            total += dur
+    print(f"total device time: {total:.2f} ms (5 frames -> {total/5:.2f} ms/frame)")
+    for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {dur/5:7.3f} ms/frame  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
