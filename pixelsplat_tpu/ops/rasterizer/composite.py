@@ -162,19 +162,22 @@ def _xla_composite_core(
 def _composite_packed(packed, idx_flat, counts, tiles_x):
     """packed: (g+1, F) f32 parameter table; idx_flat: (T*Kpad,) int32
     per-tile depth-ordered row ids (sentinel g for empty slots), Kpad a
-    multiple of the kernel chunk. Returns (acc (T,P,CH_PAD), trans (T,P)).
+    multiple of the kernel chunk. Returns (acc (T,CH_PAD,P), trans (T,P)).
     """
     return _composite_packed_fwd(packed, idx_flat, counts, tiles_x)[0]
 
 
 def _gather_params_u16(packed, idx_flat, num_tiles):
+    from .pallas_composite import C as PC
     from .pallas_composite import F as PF
 
     table_u = pack_table_u16(packed)  # (g+1, 2F) u16
     rows_u = table_u[idx_flat]  # (T*Kpad, 2F) — 16-bit fast-path gather
-    # The transpose to the kernel's (T, 2F, Kpad) layout fuses into the
+    # The kernel wants contiguous (2F, C) chunk blocks (a strided chunk
+    # read left it DMA-latency-bound); the local transpose fuses into the
     # gather's output layout assignment (measured free on v5e).
-    return rows_u.reshape(num_tiles, -1, 2 * PF).transpose(0, 2, 1)
+    blocks = rows_u.reshape(num_tiles, -1, PC, 2 * PF)
+    return blocks.transpose(0, 1, 3, 2)  # (T, Kpad/C, 2F, C)
 
 
 def _composite_packed_fwd(packed, idx_flat, counts, tiles_x):
@@ -193,10 +196,13 @@ def _composite_packed_bwd(tiles_x, residuals, cotangents):
     from .tile_gather import segment_sum_rows
 
     params_u, idx_flat, n_proc, trans, rows = residuals
-    g_acc, g_trans = cotangents
-    packed_g = g_acc.at[..., NPROC_CH].set(trans).at[..., TRANS_CH].set(g_trans)
+    g_acc, g_trans = cotangents  # g_acc: (T, CH_PAD, P)
+    packed_g = (
+        g_acc.at[:, NPROC_CH, :].set(trans).at[:, TRANS_CH, :].set(g_trans)
+    )
     d_params = pallas_composite_bwd(params_u, n_proc, packed_g, tiles_x)
-    d_rows = d_params.transpose(0, 2, 1).reshape(-1, F)  # (T*Kpad, F)
+    # (T, Kpad/C, F, C) chunk blocks -> (T*Kpad, F) rows.
+    d_rows = d_params.transpose(0, 1, 3, 2).reshape(-1, F)
     d_packed = segment_sum_rows(d_rows, idx_flat, rows)
     return d_packed, None, None
 
@@ -234,13 +240,21 @@ def composite_tiles(
         counts = (tiles.indices < g).sum(axis=1).astype(jnp.int32)
         acc, trans = _composite_packed(
             packed, idx.reshape(-1), counts, tiles_x
+        )  # acc: (T, CH_PAD, P)
+        image = (
+            acc[:, :channels, :]
+            + trans[:, None, :] * background[None, :, None]
         )
-    else:
-        params_t, counts = build_tile_params(projected, tiles, chunk=chunk)
-        acc, trans = _xla_composite_core(
-            params_t, counts, tiles_x, tile_size=tile_size, chunk=chunk
+        image = image.reshape(tiles_y, tiles_x, channels, tile_size, tile_size)
+        image = image.transpose(2, 0, 3, 1, 4).reshape(
+            channels, tiles_y * tile_size, tiles_x * tile_size
         )
+        return image[:, :h, :w]
 
+    params_t, counts = build_tile_params(projected, tiles, chunk=chunk)
+    acc, trans = _xla_composite_core(
+        params_t, counts, tiles_x, tile_size=tile_size, chunk=chunk
+    )
     image = acc[..., :channels] + trans[..., None] * background[None, None, :]
     image = image.reshape(tiles_y, tiles_x, tile_size, tile_size, channels)
     image = image.transpose(0, 2, 1, 3, 4).reshape(

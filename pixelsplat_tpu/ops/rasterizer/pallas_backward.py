@@ -18,8 +18,8 @@ forward masked or clamped) to (d op, d conic, d mean2d).
 Input parameters arrive in the forward's (T, 2F, K) u16 split-half layout
 (see pallas_composite.py); gradients leave as (T, F, K) f32.
 
-Cotangent packing (TPU block-tiling needs (P, CH_PAD)-shaped VMEM blocks):
-`packed_g` is (T, P, CH_PAD) with color cotangents in channels [0..5],
+Cotangent packing:
+`packed_g` is (T, CH_PAD, P) with color cotangents in channels [0..5],
 the forward's final transmittance in channel NPROC_CH and the
 transmittance cotangent in channel TRANS_CH. The forward's per-tile
 early-exit chunk count arrives via scalar prefetch, so the backward walks
@@ -52,9 +52,9 @@ from .pallas_composite import (
 def _bwd_kernel(
     n_proc_ref,  # SMEM (T,) chunks the forward processed
     tiles_x_ref,  # SMEM (1,)
-    params_hbm,  # ANY (T, 2F, K) u16
-    packed_g_ref,  # VMEM (1, P, CH_PAD)
-    d_params_hbm,  # ANY out (T, F, K) f32
+    params_hbm,  # ANY (T, K/C, 2F, C) u16 — contiguous chunk blocks
+    packed_g_ref,  # VMEM (1, CH_PAD, P)
+    d_params_hbm,  # ANY out (T, K/C, F, C) f32 — contiguous chunk blocks
     in_scratch,  # VMEM (2, 2F, C) u16
     out_scratch,  # VMEM (2, F, C) f32
     in_sems,  # DMA (2,)
@@ -63,7 +63,7 @@ def _bwd_kernel(
     t = pl.program_id(0)
     n_proc = n_proc_ref[t]
     tiles_x = tiles_x_ref[0]
-    total_chunks = params_hbm.shape[2] // C
+    total_chunks = params_hbm.shape[1]
 
     tile_x0 = ((t % tiles_x) * TILE).astype(jnp.float32)
     tile_y0 = ((t // tiles_x) * TILE).astype(jnp.float32)
@@ -76,7 +76,7 @@ def _bwd_kernel(
     upper_incl = (col_j >= row_i).astype(jnp.float32)
     upper_strict = (col_j > row_i).astype(jnp.float32)
 
-    packed = packed_g_ref[0].T  # (CH_PAD, P)
+    packed = packed_g_ref[0]  # (CH_PAD, P)
     trans_final = packed[NPROC_CH, :][None, :]  # (1, P)
     g_trans = packed[TRANS_CH, :][None, :]  # (1, P)
     # Color cotangents with the stashed channels zeroed (params color rows
@@ -85,8 +85,9 @@ def _bwd_kernel(
     g = jnp.where(ch_ids < NPROC_CH, packed, 0.0)  # (CH_PAD, P)
 
     def get_in_dma(slot, chunk_idx):
+        # Contiguous (2F, C) chunk blocks; see pallas_composite.get_dma.
         return pltpu.make_async_copy(
-            params_hbm.at[t, :, pl.ds(chunk_idx * C, C)],
+            params_hbm.at[t, chunk_idx],
             in_scratch.at[slot],
             in_sems.at[slot],
         )
@@ -94,7 +95,7 @@ def _bwd_kernel(
     def out_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
             out_scratch.at[slot],
-            d_params_hbm.at[t, :, pl.ds(chunk_idx * C, C)],
+            d_params_hbm.at[t, chunk_idx],
             out_sems.at[slot],
         )
 
@@ -225,15 +226,15 @@ def _bwd_kernel(
 
 
 def pallas_composite_bwd(
-    params_u: jax.Array,  # (T, 2F, Kpad) u16 split-half layout
+    params_u: jax.Array,  # (T, Kpad/C, 2F, C) u16 chunk blocks
     n_proc: jax.Array,  # (T,) chunks processed by the forward
-    packed_g: jax.Array,  # (T, P, CH_PAD): see module docstring
+    packed_g: jax.Array,  # (T, CH_PAD, P): see module docstring
     tiles_x: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns d_params as (T, F, Kpad) f32."""
-    num_tiles, f2, kpad = params_u.shape
-    assert f2 == 2 * F and kpad % C == 0 and params_u.dtype == jnp.uint16
+    """Returns d_params as (T, Kpad/C, F, C) f32 chunk blocks."""
+    num_tiles, n_chunks, f2, c = params_u.shape
+    assert f2 == 2 * F and c == C and params_u.dtype == jnp.uint16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -241,7 +242,7 @@ def pallas_composite_bwd(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, CH_PAD, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -254,7 +255,7 @@ def pallas_composite_bwd(
     )
     return pl.pallas_call(
         _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, F, kpad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, n_chunks, F, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

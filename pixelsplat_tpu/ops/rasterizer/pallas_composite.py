@@ -53,6 +53,22 @@ MAX_ALPHA = 0.99
 MIN_ALPHA = 1.0 / 255.0
 
 
+def split_matmul(a_bf16: jax.Array, x: jax.Array) -> jax.Array:
+    """a @ x with a exactly representable in bf16 (e.g. a 0/1 triangle).
+
+    Two native-rate bf16 MXU passes over the hi/lo split of x: exact to
+    ~2^-18 relative (the lo remainder is < 2^-9 |x| and its own bf16
+    rounding adds < 2^-9 of that), below the f32 matmul's own
+    accumulation error at C=128. Mosaic's f32 matmul costs several MXU
+    passes; this costs two.
+    """
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.dot(
+        a_bf16, x_hi, preferred_element_type=jnp.float32
+    ) + jnp.dot(a_bf16, x_lo, preferred_element_type=jnp.float32)
+
+
 def unpack_rows(chunk_u16: jax.Array) -> jax.Array:
     """(2F, ...) u16 [hi; lo] half rows -> (F, ...) f32, bit-exact."""
     f = chunk_u16.shape[0] // 2
@@ -64,131 +80,226 @@ def unpack_rows(chunk_u16: jax.Array) -> jax.Array:
 def _kernel(
     counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
     tiles_x_ref,  # SMEM (1,) int32 — scalar prefetch
-    params_hbm,  # ANY (num_tiles, 2F, K) u16
-    out_ref,  # VMEM out (1, P, CH_PAD)
-    scratch,  # VMEM (2, 2F, C) u16
-    sems,  # DMA semaphores (2,)
+    params_hbm,  # ANY (num_tiles, K/C, 2F, C) u16 — contiguous chunk blocks
+    out_ref,  # VMEM out (TPB, P, CH_PAD)
+    scratch,  # VMEM (2, n_blocks, 2F, C) u16 — double-buffered tile lists
+    sems,  # DMA semaphores (2, n_quarters)
+    *,
+    quarter: int,  # chunks per prefetch DMA (divides n_blocks)
+    tiles_per_program: int,
 ):
-    t = pl.program_id(0)
-    count = counts_ref[t]
+    # Each grid program handles `tiles_per_program` tiles: one grid step
+    # costs ~6.6 us of fixed overhead (measured with count=0), which at
+    # one tile per step dwarfed the actual compositing work.
+    t0 = pl.program_id(0) * tiles_per_program
     tiles_x = tiles_x_ref[0]
-    n_chunks = pl.cdiv(count, C)
-
-    # Pixel coordinates of this tile as (1, P) rows, broadcasting against
-    # (C, P) chunk arrays.
-    tile_x0 = ((t % tiles_x) * TILE).astype(jnp.float32)
-    tile_y0 = ((t // tiles_x) * TILE).astype(jnp.float32)
-    within = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = tile_x0 + (within % TILE).astype(jnp.float32)
-    py = tile_y0 + (within // TILE).astype(jnp.float32)
 
     # Strictly-lower-triangular ones for the in-chunk exclusive prefix sum.
     row_i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
     col_j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    lower = (col_j < row_i).astype(jnp.float32)  # (C, C)
+    lower = (col_j < row_i).astype(jnp.bfloat16)  # (C, C), exact in bf16
 
-    def get_dma(slot, chunk_idx):
+    # Quadratic pixel basis in tile-local coordinates: the per-pixel
+    # Gaussian exponent becomes one (C, 8) @ (8, P) MXU matmul instead of
+    # ~10 VPU passes over (C, P) (the VPU was the per-chunk bottleneck).
+    # Tile-local x, y < 16, so x^2, xy <= 225 are exact in bfloat16.
+    within = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    xl = (within % TILE).astype(jnp.float32)  # (1, P)
+    yl = (within // TILE).astype(jnp.float32)
+    basis = jnp.concatenate(
+        [
+            xl * xl,
+            yl * yl,
+            xl * yl,
+            xl,
+            yl,
+            jnp.ones_like(xl),
+            jnp.zeros_like(xl),
+            jnp.zeros_like(xl),
+        ],
+        axis=0,
+    ).astype(jnp.bfloat16)  # (8, P), exact
+
+    def n_quarters_of(t):
+        return pl.cdiv(pl.cdiv(counts_ref[t], C), quarter)
+
+    def get_dma(slot, t, q):
+        # One DMA per `quarter` chunks (a contiguous 8 KB * quarter
+        # burst): per-chunk double buffering left the loop
+        # DMA-latency-bound (~0.9 us/chunk wait vs ~0.5 us/chunk compute).
         return pltpu.make_async_copy(
-            params_hbm.at[t, :, pl.ds(chunk_idx * C, C)],
-            scratch.at[slot],
-            sems.at[slot],
+            params_hbm.at[t, pl.ds(q * quarter, quarter)],
+            scratch.at[slot, pl.ds(q * quarter, quarter)],
+            sems.at[slot, q],
         )
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_quarters_of(t0) > 0)
     def _():
-        get_dma(0, 0).start()
+        get_dma(0, t0, 0).start()
 
-    def cond(state):
-        i, trans, acc = state
-        return jnp.logical_and(i < n_chunks, jnp.max(trans) >= TRANS_EPS)
+    def tile_body(lt, _):
+        t = t0 + lt
+        slot = lt % 2
+        count = counts_ref[t]
+        n_chunks = pl.cdiv(count, C)
+        n_quarters = pl.cdiv(n_chunks, quarter)
 
-    def body(state):
-        i, trans, acc = state
-        slot = i % 2
-
-        @pl.when(i + 1 < n_chunks)
+        # The other slot is fully drained (tile lt-1 finished with it), so
+        # the next tile's first quarter streams in behind this whole tile.
+        @pl.when(lt + 1 < tiles_per_program)
         def _():
-            get_dma((i + 1) % 2, i + 1).start()
+            @pl.when(n_quarters_of(t + 1) > 0)
+            def _():
+                get_dma(1 - slot, t + 1, 0).start()
 
-        get_dma(slot, i).wait()
-        chunk = unpack_rows(scratch[slot])  # (F, C) f32
+        tile_x0 = ((t % tiles_x) * TILE).astype(jnp.float32)
+        tile_y0 = ((t // tiles_x) * TILE).astype(jnp.float32)
 
-        mx = chunk[0, :][:, None]  # (C, 1)
-        my = chunk[1, :][:, None]
-        ca = chunk[2, :][:, None]
-        cb = chunk[3, :][:, None]
-        cc = chunk[4, :][:, None]
-        op = chunk[5, :][:, None]
+        def cond(state):
+            i, tmax_prev, trans, acc = state
+            return jnp.logical_and(i < n_chunks, tmax_prev >= TRANS_EPS)
 
-        dx = px - mx  # (C, P)
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(MAX_ALPHA, op * jnp.exp(power))
-        alpha = jnp.where((power <= 0.0) & (alpha >= MIN_ALPHA), alpha, 0.0)
+        def body(state):
+            i, tmax_prev, trans, acc = state
 
-        # Ordered transmittance: exclusive prefix of log(1-alpha) via MXU.
-        la = jnp.log1p(-alpha)  # (C, P)
-        excl = jnp.dot(lower, la, preferred_element_type=jnp.float32)  # (C, P)
-        t_before = trans * jnp.exp(excl)  # trans is (1, P)
-        weight = alpha * t_before  # (C, P)
+            # Entering quarter q: kick off q+1 (one-quarter lookahead),
+            # then wait for q's arrival.
+            @pl.when(i % quarter == 0)
+            def _():
+                q = i // quarter
 
-        colors = chunk[6 : 6 + CH_PAD, :]  # (CH_PAD, C); rows 12-13 are zero
-        acc = acc + jnp.dot(
-            colors, weight, preferred_element_type=jnp.float32
-        )  # (CH_PAD, P)
-        trans = trans * jnp.exp(jnp.sum(la, axis=0, keepdims=True))  # (1, P)
-        return i + 1, trans, acc
+                @pl.when(q + 1 < n_quarters)
+                def _():
+                    get_dma(slot, t, q + 1).start()
 
-    trans0 = jnp.ones((1, P), jnp.float32)
-    acc0 = jnp.zeros((CH_PAD, P), jnp.float32)
-    n_done, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
+                get_dma(slot, t, q).wait()
 
-    # On early exit the body already prefetched chunk n_done; drain it so
-    # no DMA is left in flight at kernel teardown.
-    @pl.when(jnp.logical_and(n_done > 0, n_done < n_chunks))
-    def _():
-        get_dma(n_done % 2, n_done).wait()
+            chunk = unpack_rows(scratch[slot, i])  # (F, C) f32
 
-    # Stash n_proc / trans into the spare channels (scatter is not a TPU
-    # Pallas primitive, so use iota masks).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (CH_PAD, P), 0)
-    acc = jnp.where(rows == NPROC_CH, n_done.astype(jnp.float32), acc)
-    acc = jnp.where(rows == TRANS_CH, trans, acc)
-    out_ref[0] = acc.T  # (P, CH_PAD)
+            mxl = chunk[0, :][:, None] - tile_x0  # (C, 1), tile-local
+            myl = chunk[1, :][:, None] - tile_y0
+            ca = chunk[2, :][:, None]
+            cb = chunk[3, :][:, None]
+            cc = chunk[4, :][:, None]
+            op = chunk[5, :][:, None]
+
+            # power(x, y) = -((x-mx), (y-my)) conic quadratic, expanded
+            # over the pixel basis; all heavy per-pixel work rides the MXU.
+            # The expansion cancels catastrophically for far-off-tile
+            # centers (monomial terms reach ~1e4-1e5 while the exponent
+            # itself is O(1)), so the constant term stays on the VPU in
+            # f32 and the x/y-dependent coefficients get a THREE-way bf16
+            # split (~2^-26 relative; a 2-way split's 2^-17 showed up as
+            # 0.076 max image error on far elongated Gaussians).
+            const = (
+                -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl
+            )  # (C, 1)
+            coef = jnp.concatenate(
+                [
+                    -0.5 * ca,
+                    -0.5 * cc,
+                    -cb,
+                    ca * mxl + cb * myl,
+                    cc * myl + cb * mxl,
+                    jnp.zeros_like(ca),
+                    jnp.zeros_like(ca),
+                    jnp.zeros_like(ca),
+                ],
+                axis=1,
+            )  # (C, 8)
+            c1 = coef.astype(jnp.bfloat16)
+            r1 = coef - c1.astype(jnp.float32)
+            c2 = r1.astype(jnp.bfloat16)
+            c3 = (r1 - c2.astype(jnp.float32)).astype(jnp.bfloat16)
+            power = (
+                jnp.dot(c1, basis, preferred_element_type=jnp.float32)
+                + jnp.dot(c2, basis, preferred_element_type=jnp.float32)
+                + jnp.dot(c3, basis, preferred_element_type=jnp.float32)
+                + const
+            )
+            alpha = jnp.minimum(MAX_ALPHA, op * jnp.exp(power))
+            alpha = jnp.where((power <= 0.0) & (alpha >= MIN_ALPHA), alpha, 0.0)
+
+            # Ordered transmittance: exclusive log(1-alpha) prefix via MXU.
+            la = jnp.log1p(-alpha)  # (C, P)
+            excl = split_matmul(lower, la)  # (C, P)
+            t_before = trans * jnp.exp(excl)  # trans is (1, P)
+            weight = alpha * t_before  # (C, P)
+
+            colors = chunk[6 : 6 + CH_PAD, :]  # (CH_PAD, C); rows 12-13 zero
+            acc = acc + jnp.dot(
+                colors, weight, preferred_element_type=jnp.float32
+            )  # (CH_PAD, P)
+            trans = trans * jnp.exp(jnp.sum(la, axis=0, keepdims=True))
+            # The exit check lags one chunk: the vector->scalar reduction
+            # feeding the loop predicate otherwise stalls every iteration.
+            # One extra chunk may be composited, which only moves the
+            # result closer to the exact (no-early-exit) image.
+            return i + 1, jnp.max(trans), trans, acc
+
+        trans0 = jnp.ones((1, P), jnp.float32)
+        acc0 = jnp.zeros((CH_PAD, P), jnp.float32)
+        n_done, _, trans, acc = jax.lax.while_loop(
+            cond, body, (0, jnp.float32(1.0), trans0, acc0)
+        )
+
+        # Quarters waited so far = ceil(n_done / quarter); at most one
+        # more (the lookahead, or the prologue when n_done == 0) is in
+        # flight — drain it before the slot is reused.
+        waited = pl.cdiv(n_done, quarter)
+
+        @pl.when(waited < n_quarters)
+        def _():
+            get_dma(slot, t, waited).wait()
+
+        # Stash n_proc / trans into the spare channels (scatter is not a
+        # TPU Pallas primitive, so use iota masks). The output stays in
+        # the accumulator's (CH_PAD, P) orientation: transposing to
+        # (P, CH_PAD) cost ~5 us/tile of vreg shuffles into a 16x
+        # lane-padded block and dominated the whole kernel.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CH_PAD, P), 0)
+        acc = jnp.where(rows == NPROC_CH, n_done.astype(jnp.float32), acc)
+        acc = jnp.where(rows == TRANS_CH, trans, acc)
+        out_ref[lt] = acc  # (CH_PAD, P)
+        return 0
+
+    jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
 
 
 def pallas_composite_core(
-    params_u: jax.Array,  # (num_tiles, 2F, Kpad) u16, Kpad % C == 0
+    params_u: jax.Array,  # (num_tiles, Kpad/C, 2F, C) u16 chunk blocks
     counts: jax.Array,  # (num_tiles,) int32
     tiles_x: int,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (acc (T, P, CH_PAD), trans (T, P), n_processed (T,))."""
-    num_tiles, f2, kpad = params_u.shape
-    assert f2 == 2 * F and kpad % C == 0 and params_u.dtype == jnp.uint16
+    """Returns (acc (T, CH_PAD, P), trans (T, P), n_processed (T,))."""
+    num_tiles, n_blocks, f2, c = params_u.shape
+    assert f2 == 2 * F and c == C and params_u.dtype == jnp.uint16
+    quarter = next(q for q in (8, 4, 2, 1) if n_blocks % q == 0)
+    tpb = next(q for q in (16, 8, 4, 2, 1) if num_tiles % q == 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(num_tiles // tpb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, P, CH_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (tpb, CH_PAD, P), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * F, C), jnp.uint16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, n_blocks, 2 * F, C), jnp.uint16),
+            pltpu.SemaphoreType.DMA((2, n_blocks // quarter)),
         ],
     )
     packed = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, P, CH_PAD), jnp.float32),
+        functools.partial(_kernel, quarter=quarter, tiles_per_program=tpb),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, CH_PAD, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(counts, jnp.asarray([tiles_x], jnp.int32), params_u)
-    trans = packed[:, :, TRANS_CH]
-    n_proc = packed[:, 0, NPROC_CH].astype(jnp.int32)
-    acc = packed.at[:, :, NPROC_CH].set(0.0).at[:, :, TRANS_CH].set(0.0)
+    trans = packed[:, TRANS_CH, :]
+    n_proc = packed[:, NPROC_CH, 0].astype(jnp.int32)
+    acc = packed.at[:, NPROC_CH, :].set(0.0).at[:, TRANS_CH, :].set(0.0)
     return acc, trans, n_proc

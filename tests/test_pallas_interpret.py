@@ -39,13 +39,17 @@ def scene():
 
 
 def to_u16(params):
-    """(T, F, K) f32 oracle layout -> (T, 2F, K) u16 kernel layout."""
-    return pack_table_u16(params.transpose(0, 2, 1)).transpose(0, 2, 1)
+    """(T, F, K) f32 oracle layout -> (T, K/C, 2F, C) u16 chunk blocks."""
+    t, f, k = params.shape
+    rows = pack_table_u16(params.transpose(0, 2, 1))  # (T, K, 2F)
+    return rows.reshape(t, k // 128, 128, 2 * f).transpose(0, 1, 3, 2)
 
 
 def test_u16_roundtrip_is_bit_exact(scene):
     params, _ = scene
-    back = jax.vmap(unpack_rows)(to_u16(params))
+    back = jax.vmap(jax.vmap(unpack_rows))(to_u16(params))  # (T, K/C, F, C)
+    t, f, k = params.shape
+    back = jnp.transpose(back, (0, 2, 1, 3)).reshape(t, f, k)
     assert (
         np.asarray(back).view(np.uint32) == np.asarray(params).view(np.uint32)
     ).all()
@@ -55,9 +59,11 @@ def test_forward_matches_xla(scene):
     params, counts = scene
     acc_p, trans_p, n_proc = pallas_composite_core(
         to_u16(params), counts, TILES_X, interpret=True
-    )
+    )  # acc_p: (T, CH_PAD, P)
     acc_x, trans_x = _xla_composite_core(params, counts, TILES_X)
-    np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_x), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(acc_p.transpose(0, 2, 1)), np.asarray(acc_x), atol=2e-4
+    )
     np.testing.assert_allclose(np.asarray(trans_p), np.asarray(trans_x), atol=2e-4)
     assert np.asarray(n_proc).tolist() == [2, 1]  # tile 1 has half the depth
 
@@ -75,16 +81,19 @@ def test_backward_matches_xla_autodiff(scene):
     # produces: dL/dacc = 2*acc (channels 0..2), dL/dtrans = 0.3.
     acc, trans, n_proc = pallas_composite_core(
         to_u16(params), counts, TILES_X, interpret=True
-    )
-    g_acc = (2.0 * acc).at[..., 3:].set(0.0)
+    )  # acc: (T, CH_PAD, P)
+    g_acc = (2.0 * acc).at[:, 3:, :].set(0.0)
     g_trans = jnp.full_like(trans, 0.3)
-    packed_g = g_acc.at[..., NPROC_CH].set(trans).at[..., TRANS_CH].set(g_trans)
+    packed_g = (
+        g_acc.at[:, NPROC_CH, :].set(trans).at[:, TRANS_CH, :].set(g_trans)
+    )
     g_pallas = pallas_composite_bwd(
         to_u16(params), n_proc, packed_g, TILES_X, interpret=True
     )
 
     gx = np.asarray(g_xla)
-    gp = np.asarray(g_pallas)
+    # (T, K/C, F, C) chunk blocks -> (T, F, K).
+    gp = np.asarray(g_pallas).transpose(0, 2, 1, 3).reshape(gx.shape)
     for row in range(9):
         scale = np.abs(gx[:, row]).max() + 1e-9
         np.testing.assert_allclose(
