@@ -30,7 +30,11 @@ class LossLpips:
 
     def __init__(self, cfg: LossLpipsCfg):
         self.cfg = cfg
-        self.params, self.pretrained = get_lpips_params()
+        # Hard-fail: a training run configured with this loss would
+        # otherwise silently optimize a random-VGG "perceptual" distance
+        # from step `apply_after_step` on (reference loads the published
+        # VGG-LPIPS weights unconditionally, loss_lpips.py:33-47).
+        self.params, self.pretrained = get_lpips_params(allow_random=False)
 
     def __call__(self, prediction, batch, gaussians, global_step) -> jax.Array:
         image = batch["target"]["image"]  # (b, v, 3, h, w)

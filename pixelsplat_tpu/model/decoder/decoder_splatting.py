@@ -28,6 +28,10 @@ UNROLL_MAX_VIEWS = 8
 class DecoderOutput(NamedTuple):
     color: jax.Array  # (b, v, 3, h, w)
     depth: Optional[jax.Array] = None  # (b, v, h, w)
+    # Total (gaussian, tile) pairs dropped by the binner at capacity over
+    # all rendered views. Nonzero means the farthest Gaussians of
+    # overfull tiles were silently omitted (see RenderSettings.capacity).
+    overflow: Optional[jax.Array] = None  # scalar int32
 
 
 @dataclass(frozen=True)
@@ -65,7 +69,7 @@ class DecoderSplatting:
 
             def render_one_view(cam):
                 e, k, n, f = cam
-                return render(
+                img, ovf = render(
                     e[None],
                     k[None],
                     n[None],
@@ -77,19 +81,22 @@ class DecoderSplatting:
                     sh[None],
                     op[None],
                     settings=self.cfg.render,
-                )[0]
+                    return_overflow=True,
+                )
+                return img[0], ovf[0]
 
             v = e_v.shape[0]
             if v <= UNROLL_MAX_VIEWS:
-                return jnp.stack(
-                    [
+                imgs, ovfs = zip(
+                    *[
                         render_one_view((e_v[i], k_v[i], n_v[i], f_v[i]))
                         for i in range(v)
                     ]
                 )
+                return jnp.stack(imgs), jnp.stack(ovfs)
             return jax.lax.map(render_one_view, (e_v, k_v, n_v, f_v))
 
-        color = jax.lax.map(
+        color, overflow = jax.lax.map(
             render_batch_element,
             (
                 extrinsics,
@@ -147,4 +154,6 @@ class DecoderSplatting:
                 ),
             )
 
-        return DecoderOutput(color=color, depth=depth)
+        return DecoderOutput(
+            color=color, depth=depth, overflow=overflow.sum()
+        )

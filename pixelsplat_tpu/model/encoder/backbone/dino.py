@@ -33,6 +33,10 @@ class BackboneDinoCfg:
     name: Literal["dino"] = "dino"
     model: str = "dino_vitb8"
     d_out: int = 512
+    # Positional-embedding grid of the checkpoint being loaded (224/patch
+    # for the published DINO weights). Non-default values exist for golden
+    # tests against torch fixtures whose grid matches the input exactly.
+    pos_grid: int = 28
 
 
 class ViTBlock(nn.Module):
@@ -43,7 +47,9 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.LayerNorm(name="norm1")(x)
+        # epsilon=1e-5: torch nn.LayerNorm parity (flax defaults to 1e-6,
+        # which drifts ~1e-3 over 12 pre-norm blocks).
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             qkv_features=self.dim,
@@ -51,9 +57,10 @@ class ViTBlock(nn.Module):
             name="attn",
         )(y, y)
         x = x + y
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        # Exact (erf) GELU: torch's nn.GELU default, which DINO uses.
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
@@ -105,7 +112,7 @@ class DinoViT(nn.Module):
 
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.heads, dtype=self.dtype, name=f"block{i}")(x)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class BackboneDino(nn.Module):
@@ -132,6 +139,7 @@ class BackboneDino(nn.Module):
             dim=spec["dim"],
             depth=spec["depth"],
             heads=spec["heads"],
+            pos_grid=cfg.pos_grid,
             dtype=self.dtype,
             name="dino",
         )(images.reshape(b * v, 3, h, w))

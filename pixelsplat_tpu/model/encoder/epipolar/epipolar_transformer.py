@@ -157,7 +157,8 @@ class EpipolarTransformer(nn.Module):
                 name="upscaler",
             )(x)
             y = nn.Conv(self.d_in * 2, kernel_size=(7, 7), dtype=self.dtype, name="refine1")(x)
-            y = nn.gelu(y)
+            # Exact (erf) GELU: torch nn.GELU parity.
+            y = nn.gelu(y, approximate=False)
             y = nn.Conv(self.d_in, kernel_size=(7, 7), dtype=self.dtype, name="refine2")(y)
             x = x + y
             features = x.reshape(b, v, h_full, w_full, self.d_in)

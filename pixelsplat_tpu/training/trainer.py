@@ -164,10 +164,21 @@ class Trainer:
 
         metrics = {}
         flat_gt = target.reshape(b * v, c, h, w)
+        # The reference logs the full PSNR/LPIPS/SSIM trio per variant
+        # (model_wrapper.py:244-254). LPIPS uses whatever weights are on
+        # disk; with no pretrained weights it is skipped rather than
+        # logged from random VGG features.
+        from ..evaluation.lpips import compute_lpips, get_lpips_params
+
+        lpips_params, lpips_pretrained = get_lpips_params()
         for name, (_, color) in variants.items():
             flat = color.reshape(b * v, c, h, w)
             metrics[f"val/psnr_{name}"] = float(compute_psnr(flat_gt, flat).mean())
             metrics[f"val/ssim_{name}"] = float(compute_ssim(flat_gt, flat).mean())
+            if lpips_pretrained:
+                metrics[f"val/lpips_{name}"] = float(
+                    compute_lpips(flat_gt, flat, lpips_params).mean()
+                )
         self.logger.log_metrics(metrics, step=step)
 
         # Comparison grid: context views | GT | probabilistic | deterministic.
@@ -301,6 +312,7 @@ class Trainer:
             )
         all_metrics: dict[str, list[float]] = {"psnr": [], "ssim": [], "lpips": []}
         count = 0
+        overflow_total = 0
         for batch in self.data_module.test_dataloader():
             scene = batch["scene"][0]
             arrays = _to_jax(_strip_non_arrays(batch))
@@ -319,9 +331,10 @@ class Trainer:
                     ),
                 }
                 with self.benchmarker.time("render", num_calls=hi - lo):
-                    color = render_fn(params, sub, jnp.asarray(0))
+                    color, chunk_overflow = render_fn(params, sub, jnp.asarray(0))
                     self.benchmarker.sync(color)
                 colors.append(np.asarray(color))
+                overflow_total += int(np.asarray(chunk_overflow))
             color = np.concatenate(colors, axis=1)[0]  # (v, 3, h, w)
 
             gt = np.asarray(arrays["target"]["image"][0])
@@ -355,5 +368,15 @@ class Trainer:
         self.benchmarker.dump_memory(out_dir / name / "peak_memory.json")
         summary = {k: float(np.mean(v)) for k, v in all_metrics.items() if v}
         summary["num_scenes"] = count
+        # The eval protocol requires zero dropped pairs: any overflow means
+        # the reported metrics were computed on images with silently
+        # missing Gaussians (raise RenderSettings.capacity and rerun).
+        summary["overflow_pairs"] = overflow_total
+        if overflow_total:
+            print(
+                f"WARNING: rasterizer dropped {overflow_total} (gaussian, "
+                "tile) pairs at tile capacity during evaluation; metrics "
+                "are not protocol-clean."
+            )
         print("test;", summary)
         return summary

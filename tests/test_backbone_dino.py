@@ -4,6 +4,11 @@ import jax
 import jax.numpy as jnp
 
 from pixelsplat_tpu.model.encoder.backbone.dino import BackboneDino, BackboneDinoCfg
+import pytest
+
+# Multi-minute e2e compiles: excluded from the CI-speed suite
+# (python -m pytest -m 'not slow').
+pytestmark = pytest.mark.slow
 
 
 def test_backbone_dino_forward():

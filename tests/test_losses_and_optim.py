@@ -12,10 +12,29 @@ class _FakeOutput:
         self.depth = depth
 
 
-def test_lpips_gating():
+def test_lpips_requires_pretrained_weights():
+    """Without weights on disk, configuring the LPIPS loss must hard-fail
+    rather than silently train against a random-VGG distance."""
+    from pixelsplat_tpu.evaluation.lpips import load_lpips_params
     from pixelsplat_tpu.loss import LossLpipsCfg
     from pixelsplat_tpu.loss.loss_lpips import LossLpips
 
+    if load_lpips_params() is None:
+        with pytest.raises(FileNotFoundError):
+            LossLpips(LossLpipsCfg())
+
+
+def test_lpips_gating(monkeypatch):
+    import pixelsplat_tpu.loss.loss_lpips as mod
+    from pixelsplat_tpu.evaluation.lpips import get_lpips_params
+    from pixelsplat_tpu.loss import LossLpipsCfg
+    from pixelsplat_tpu.loss.loss_lpips import LossLpips
+
+    # Gating semantics are weight-independent; random weights stand in for
+    # the pretrained ones (which require one-time egress to export).
+    monkeypatch.setattr(
+        mod, "get_lpips_params", lambda allow_random=False: get_lpips_params()
+    )
     loss = LossLpips(LossLpipsCfg(weight=0.05, apply_after_step=100))
     key = jax.random.PRNGKey(0)
     pred = _FakeOutput(jax.random.uniform(key, (1, 1, 3, 64, 64)))

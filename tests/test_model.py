@@ -22,6 +22,10 @@ from pixelsplat_tpu.model.encoder.epipolar.image_self_attention import (
 )
 from pixelsplat_tpu.ops.rasterizer import RenderSettings
 
+# Multi-minute e2e compiles: excluded from the CI-speed suite
+# (python -m pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 H = W = 32
 B, V = 2, 2
 

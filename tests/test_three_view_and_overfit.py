@@ -23,6 +23,10 @@ from pixelsplat_tpu.model.encoder.epipolar.image_self_attention import (
 )
 from pixelsplat_tpu.ops.rasterizer import RenderSettings
 
+# Multi-minute e2e compiles: excluded from the CI-speed suite
+# (python -m pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(num_context_views=2, **overrides):
     base = dict(

@@ -7,6 +7,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# Multi-minute e2e compiles: excluded from the CI-speed suite
+# (python -m pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_setup(tmp_path_factory):

@@ -83,8 +83,15 @@ def main():
             by_op[name] += dur
             total += dur
     print(f"total device time: {total:.2f} ms (5 frames -> {total/5:.2f} ms/frame)")
+    longs = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            a = e.get("args", {})
+            ln = a.get("long_name") or a.get("tf_op") or ""
+            if ln:
+                longs.setdefault(e.get("name", "?"), ln)
     for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"  {dur/5:7.3f} ms/frame  {name[:110]}")
+        print(f"  {dur/5:7.3f} ms/frame  {name[:60]}  | {longs.get(name, '')[:140]}")
 
 
 if __name__ == "__main__":
