@@ -32,13 +32,43 @@ from .projection import ProjectedGaussians
 
 
 class TileLists(NamedTuple):
-    # Original Gaussian ids per tile in front-to-back order; invalid slots
-    # hold the sentinel id `g` (one past the last Gaussian).
-    indices: jax.Array  # (num_tiles, capacity) int32
-    valid: jax.Array  # (num_tiles, capacity) bool
-    # Number of (gaussian, tile) pairs dropped due to capacity overflow —
-    # diagnostics for choosing `capacity`.
+    # Original Gaussian ids of all tiles' lists in one flat array:
+    # tile t's front-to-back list occupies `chunk`-aligned slots
+    # [block_start[t] * chunk, ...) with `counts[t]` real entries; pad
+    # slots (and the tail margin) hold the sentinel id `g`. The flat
+    # budgeted layout exists because the parameter-row gather that
+    # consumes it is row-COUNT-bound (~1.9 ns/row regardless of width),
+    # so gathering tiles * capacity slots wastes half the time on
+    # sentinel rows of near-empty tiles.
+    flat: jax.Array  # (pair_budget,) int32
+    block_start: jax.Array  # (num_tiles,) int32 — chunk index of tile t
+    counts: jax.Array  # (num_tiles,) int32 — list length (<= capacity)
+    # Number of (gaussian, tile) pairs dropped due to capacity or budget
+    # overflow — diagnostics for choosing `capacity` / `pair_budget`.
     overflow: jax.Array
+
+
+def per_tile_indices(
+    tiles: TileLists, capacity: int, g_sent: int, chunk: int = 128
+) -> jax.Array:
+    """Unflatten to (num_tiles, capacity) id lists (sentinel-padded).
+
+    `g_sent` is the sentinel id (the Gaussian count g). Compatibility
+    path for the XLA fallback compositor and tests; the Pallas path
+    consumes the flat layout directly.
+    """
+    padded = jnp.concatenate(
+        [tiles.flat, jnp.full((capacity,), g_sent, tiles.flat.dtype)]
+    )
+
+    def one(carry, s):
+        return carry, jax.lax.dynamic_slice(padded, (s,), (capacity,))
+
+    _, lists = jax.lax.scan(one, 0, tiles.block_start * chunk)
+    k_range = jnp.arange(capacity, dtype=jnp.int32)
+    return jnp.where(
+        k_range[None, :] < tiles.counts[:, None], lists, g_sent
+    )
 
 
 def bin_gaussians(
@@ -48,6 +78,8 @@ def bin_gaussians(
     capacity: int = 2048,
     span: int = 3,
     big_capacity: int = 128,
+    chunk: int = 128,
+    pair_budget: int | None = None,
 ) -> TileLists:
     h, w = image_shape
     tiles_x = -(-w // tile_size)
@@ -72,14 +104,15 @@ def bin_gaussians(
         (order, iota), num_keys=1, is_stable=False
     )  # rank_of[gid] = r
     mean_x, mean_y = projected.mean_x, projected.mean_y
-    radius = projected.radius
+    radius_x, radius_y = projected.radius_x, projected.radius_y
     valid = projected.valid
 
-    # 2. Tile bbox per Gaussian (original order).
-    x0 = jnp.clip(jnp.floor((mean_x - radius) / tile_size), 0, tiles_x - 1)
-    x1 = jnp.clip(jnp.floor((mean_x + radius) / tile_size), 0, tiles_x - 1)
-    y0 = jnp.clip(jnp.floor((mean_y - radius) / tile_size), 0, tiles_y - 1)
-    y1 = jnp.clip(jnp.floor((mean_y + radius) / tile_size), 0, tiles_y - 1)
+    # 2. Tile bbox per Gaussian (original order), from the opacity-aware
+    # per-axis extents (see ProjectedGaussians.radius_x).
+    x0 = jnp.clip(jnp.floor((mean_x - radius_x) / tile_size), 0, tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((mean_x + radius_x) / tile_size), 0, tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((mean_y - radius_y) / tile_size), 0, tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((mean_y + radius_y) / tile_size), 0, tiles_y - 1)
     x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
     span_x = x1 - x0 + 1
     span_y = y1 - y0 + 1
@@ -136,29 +169,63 @@ def bin_gaussians(
 
     keys, payload = jax.lax.sort((keys, payload), num_keys=1, is_stable=False)
 
-    # 5. Per-tile segments + fixed-capacity assembly. Each tile's list is a
-    # CONTIGUOUS run of the sorted payload, so it is read with a
-    # dynamic_slice per tile instead of a gather — XLA's gather does not
-    # exploit contiguous indices (8.8 ms vs 2.0 ms at this size).
+    # 5. Per-tile segments + flat budgeted assembly. Each tile's list is
+    # a CONTIGUOUS run of the sorted payload, read with a dynamic_slice
+    # per tile (XLA's gather does not exploit contiguous indices: 8.8 ms
+    # vs 2.0 ms at this size) and written at its chunk-aligned offset in
+    # the flat array. Writes go in ascending tile order with a full
+    # `capacity` window each: a tile's spill past its own (shorter)
+    # padded segment lands in the next tile's region and is overwritten
+    # by that tile's own write.
     starts = jnp.searchsorted(keys, jnp.arange(num_tiles, dtype=key_dtype) * g)
     ends = jnp.searchsorted(keys, (jnp.arange(num_tiles, dtype=key_dtype) + 1) * g)
-    counts = (ends - starts).astype(jnp.int32)
-    k_range = jnp.arange(capacity, dtype=jnp.int32)
+    raw_counts = (ends - starts).astype(jnp.int32)
+    counts = jnp.minimum(raw_counts, capacity)
+    overflow = overflow + (raw_counts - counts).sum()
+
+    if pair_budget is None:
+        # Exact worst case (every candidate pair fits, plus one chunk of
+        # alignment padding per tile) when that is small; otherwise twice
+        # the Gaussian count, which covers scenes whose average
+        # tile-overlap is < 2 (bench worst case: ~1.4) — overflow reports
+        # when it doesn't. The floor keeps one chunk per tile plus
+        # padding slack always available.
+        worst = span * span * g + num_tiles * (big_capacity + chunk)
+        floor = max(2 * g + num_tiles * chunk, 65536)
+        pair_budget = min(worst, floor)
+    pair_budget = -(-pair_budget // chunk) * chunk
+    nb = pair_budget // chunk
+
+    blocks = -(-counts // chunk)
+    astart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(blocks)[:-1].astype(jnp.int32)]
+    )
+    fits = (astart + blocks) <= nb
+    overflow = overflow + jnp.where(fits, 0, counts).sum()
+    counts = jnp.where(fits, counts, 0)
+    # Budget-dropped tiles write into the tail margin instead.
+    astart = jnp.where(fits, astart, nb)
+
     payload_padded = jnp.concatenate(
         [payload, jnp.full((capacity,), g, payload.dtype)]
     )
+    k_range = jnp.arange(capacity, dtype=jnp.int32)
 
-    def slice_tile(carry, s):
-        return carry, jax.lax.dynamic_slice(payload_padded, (s,), (capacity,))
+    def write_tile(out, xs):
+        s, a, n = xs
+        sl = jax.lax.dynamic_slice(payload_padded, (s,), (capacity,))
+        sl = jnp.where(k_range < n, sl, g)
+        return jax.lax.dynamic_update_slice(out, sl, (a * chunk,)), None
 
-    _, tile_gids = jax.lax.scan(slice_tile, 0, starts.astype(jnp.int32))
-    tile_valid = k_range[None, :] < jnp.minimum(counts, capacity)[:, None]
-    tile_gids = jnp.where(tile_valid, tile_gids, g)
-    overflow = overflow + jnp.maximum(counts - capacity, 0).sum()
+    out0 = jnp.full((pair_budget + capacity + chunk,), g, payload.dtype)
+    out, _ = jax.lax.scan(
+        write_tile, out0, (starts.astype(jnp.int32), astart, counts)
+    )
 
     return TileLists(
-        indices=tile_gids,
-        valid=tile_valid,
+        flat=out[:pair_budget],
+        block_start=astart,
+        counts=counts,
         overflow=overflow,
     )
 
@@ -184,12 +251,12 @@ def tile_occupancy(
     g = projected.depth.shape[0]
 
     mean_x, mean_y = projected.mean_x, projected.mean_y
-    radius = projected.radius
+    radius_x, radius_y = projected.radius_x, projected.radius_y
     valid = projected.valid
-    x0 = jnp.clip(jnp.floor((mean_x - radius) / tile_size), 0, tiles_x - 1)
-    x1 = jnp.clip(jnp.floor((mean_x + radius) / tile_size), 0, tiles_x - 1)
-    y0 = jnp.clip(jnp.floor((mean_y - radius) / tile_size), 0, tiles_y - 1)
-    y1 = jnp.clip(jnp.floor((mean_y + radius) / tile_size), 0, tiles_y - 1)
+    x0 = jnp.clip(jnp.floor((mean_x - radius_x) / tile_size), 0, tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((mean_x + radius_x) / tile_size), 0, tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((mean_y - radius_y) / tile_size), 0, tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((mean_y + radius_y) / tile_size), 0, tiles_y - 1)
     x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
     span_x = x1 - x0 + 1
     span_y = y1 - y0 + 1

@@ -25,11 +25,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .binning import TileLists
+from .binning import TileLists, per_tile_indices
 from .projection import MIN_ALPHA, ProjectedGaussians
 
 MAX_ALPHA = 0.99
-F = 16  # parameter rows in the packed layout
+F = 12  # parameter rows in the packed layout (6 geometry + 6 colors)
 CH_PAD = 8
 
 
@@ -72,28 +72,30 @@ def build_tile_params(
     projected: ProjectedGaussians,
     tiles: TileLists,
     chunk: int = 128,
+    capacity: int = 4096,
 ) -> tuple[jax.Array, jax.Array]:
     """Gather per-tile, depth-ordered parameters into (T, F, Kpad) f32.
 
-    The XLA-backend path (CPU tests / non-default tile shapes); the
-    Pallas path uses `_composite_packed` below instead.
+    `capacity` must be >= the capacity `tiles` was binned with. The
+    XLA-backend path (CPU tests / non-default tile shapes); the Pallas
+    path uses `_composite_packed` below instead.
     """
     g = projected.depth.shape[0]
     packed = pack_columns(projected)
+    indices = per_tile_indices(tiles, capacity, g, chunk)
 
     if jax.default_backend() == "cpu":
-        rows = packed[tiles.indices]  # (T, K, F) — one gather
+        rows = packed[indices]  # (T, K, F) — one gather
     else:
         # Same gather, but with a sort-based VJP: XLA's scatter-add
         # backward costs ~57 ms/view at production scale on TPU.
         from .tile_gather import gather_rows
 
-        rows = gather_rows(packed, tiles.indices)
+        rows = gather_rows(packed, indices)
     params = rows.transpose(0, 2, 1)  # (T, F, K)
     k_ = params.shape[-1]
     params = jnp.pad(params, ((0, 0), (0, 0), (0, (-k_) % chunk)))
-    counts = (tiles.indices < g).sum(axis=1).astype(jnp.int32)
-    return params, counts
+    return params, tiles.counts
 
 
 def _xla_composite_core(
@@ -140,7 +142,7 @@ def _xla_composite_core(
             [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1
         )
         weight = alpha * t_before  # (T, C, P)
-        colors = ck[:, 6 : 6 + CH_PAD, :]  # (T, CH_PAD, C)
+        colors = jnp.pad(ck[:, 6:, :], ((0, 0), (0, CH_PAD - (f - 6)), (0, 0)))
         acc = acc + jnp.einsum("tcp,txc->tpx", weight, colors)
         trans = trans * cum[:, -1]
         return (trans, acc), None
@@ -158,53 +160,61 @@ def _xla_composite_core(
 # equivalents on TPU; see tile_gather.fast_gather_rows).
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _composite_packed(packed, idx_flat, counts, tiles_x):
-    """packed: (g+1, F) f32 parameter table; idx_flat: (T*Kpad,) int32
-    per-tile depth-ordered row ids (sentinel g for empty slots), Kpad a
-    multiple of the kernel chunk. Returns (acc (T,CH_PAD,P), trans (T,P)).
-    """
-    return _composite_packed_fwd(packed, idx_flat, counts, tiles_x)[0]
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _composite_packed(packed, idx_flat, block_start, counts, tiles_x, max_blocks):
+    """packed: (g+1, F) f32 parameter table; idx_flat: (budget,) int32
+    flat chunk-aligned per-tile row-id lists (sentinel g for pad slots);
+    block_start/counts: (T,) per-tile chunk base and list length.
+    Returns (acc (T,CH_PAD,P), trans (T,P))."""
+    return _composite_packed_fwd(
+        packed, idx_flat, block_start, counts, tiles_x, max_blocks
+    )[0]
 
 
-def _gather_params_u16(packed, idx_flat, num_tiles):
+def _gather_params_u16(packed, idx_flat):
     from .pallas_composite import C as PC
     from .pallas_composite import F as PF
 
     table_u = pack_table_u16(packed)  # (g+1, 2F) u16
-    rows_u = table_u[idx_flat]  # (T*Kpad, 2F) — 16-bit fast-path gather
+    rows_u = table_u[idx_flat]  # (budget, 2F) — 16-bit fast-path gather
     # The kernel wants contiguous (2F, C) chunk blocks (a strided chunk
     # read left it DMA-latency-bound); the local transpose fuses into the
     # gather's output layout assignment (measured free on v5e).
-    blocks = rows_u.reshape(num_tiles, -1, PC, 2 * PF)
-    return blocks.transpose(0, 1, 3, 2)  # (T, Kpad/C, 2F, C)
+    blocks = rows_u.reshape(-1, PC, 2 * PF)
+    return blocks.transpose(0, 2, 1)  # (budget/C, 2F, C)
 
 
-def _composite_packed_fwd(packed, idx_flat, counts, tiles_x):
+def _composite_packed_fwd(packed, idx_flat, block_start, counts, tiles_x, max_blocks):
     from .pallas_composite import pallas_composite_core
 
-    num_tiles = counts.shape[0]
-    params_u = _gather_params_u16(packed, idx_flat, num_tiles)
-    acc, trans, n_proc = pallas_composite_core(params_u, counts, tiles_x)
-    residuals = (params_u, idx_flat, n_proc, trans, packed.shape[0])
+    params_u = _gather_params_u16(packed, idx_flat)
+    acc, trans, n_proc = pallas_composite_core(
+        params_u, counts, block_start, tiles_x, max_blocks
+    )
+    residuals = (
+        params_u, idx_flat, block_start, counts, n_proc, trans, packed.shape[0]
+    )
     return (acc, trans), residuals
 
 
-def _composite_packed_bwd(tiles_x, residuals, cotangents):
+def _composite_packed_bwd(tiles_x, max_blocks, residuals, cotangents):
     from .pallas_backward import pallas_composite_bwd
     from .pallas_composite import NPROC_CH, TRANS_CH
     from .tile_gather import segment_sum_rows
 
-    params_u, idx_flat, n_proc, trans, rows = residuals
+    params_u, idx_flat, block_start, counts, n_proc, trans, rows = residuals
     g_acc, g_trans = cotangents  # g_acc: (T, CH_PAD, P)
     packed_g = (
         g_acc.at[:, NPROC_CH, :].set(trans).at[:, TRANS_CH, :].set(g_trans)
     )
-    d_params = pallas_composite_bwd(params_u, n_proc, packed_g, tiles_x)
-    # (T, Kpad/C, F, C) chunk blocks -> (T*Kpad, F) rows.
-    d_rows = d_params.transpose(0, 1, 3, 2).reshape(-1, F)
+    d_params = pallas_composite_bwd(
+        params_u, n_proc, block_start, packed_g, tiles_x, max_blocks,
+        counts=counts,
+    )
+    # (budget/C, F, C) chunk blocks -> (budget, F) rows.
+    d_rows = d_params.transpose(0, 2, 1).reshape(-1, F)
     d_packed = segment_sum_rows(d_rows, idx_flat, rows)
-    return d_packed, None, None
+    return d_packed, None, None, None
 
 
 _composite_packed.defvjp(_composite_packed_fwd, _composite_packed_bwd)
@@ -217,14 +227,16 @@ def composite_tiles(
     background: jax.Array,  # (channels,)
     tile_size: int = 16,
     chunk: int = 128,
+    capacity: int = 4096,
     backend: str = "auto",  # auto | pallas | xla
 ) -> jax.Array:
-    """Returns (channels, h, w) composited image."""
+    """Returns (channels, h, w) composited image. `capacity` must match
+    the binning capacity (bounds per-tile list length)."""
     h, w = image_shape
     tiles_x = -(-w // tile_size)
     tiles_y = -(-h // tile_size)
     channels = projected.color.shape[0]
-    num_tiles = tiles.indices.shape[0]
+    num_tiles = tiles.block_start.shape[0]
     p = tile_size * tile_size
     g = projected.depth.shape[0]
 
@@ -234,12 +246,18 @@ def composite_tiles(
     )
     if use_pallas:
         packed = pack_columns(projected)
-        idx = tiles.indices  # (T, K)
-        k_ = idx.shape[-1]
-        idx = jnp.pad(idx, ((0, 0), (0, (-k_) % chunk)), constant_values=g)
-        counts = (tiles.indices < g).sum(axis=1).astype(jnp.int32)
+        # One quarter-burst of sentinel margin so the kernel's lookahead
+        # DMA for the last tile never reads past the buffer.
+        idx = jnp.concatenate(
+            [tiles.flat, jnp.full((8 * chunk,), g, tiles.flat.dtype)]
+        )
         acc, trans = _composite_packed(
-            packed, idx.reshape(-1), counts, tiles_x
+            packed,
+            idx,
+            tiles.block_start,
+            tiles.counts,
+            tiles_x,
+            -(-capacity // chunk),
         )  # acc: (T, CH_PAD, P)
         image = (
             acc[:, :channels, :]
@@ -251,7 +269,9 @@ def composite_tiles(
         )
         return image[:, :h, :w]
 
-    params_t, counts = build_tile_params(projected, tiles, chunk=chunk)
+    params_t, counts = build_tile_params(
+        projected, tiles, chunk=chunk, capacity=capacity
+    )
     acc, trans = _xla_composite_core(
         params_t, counts, tiles_x, tile_size=tile_size, chunk=chunk
     )

@@ -51,10 +51,12 @@ from .pallas_composite import (
 
 def _bwd_kernel(
     n_proc_ref,  # SMEM (T,) chunks the forward processed
+    bstart_ref,  # SMEM (T,) per-tile chunk base in the flat block array
+    counts_ref,  # SMEM (T,) list lengths (total chunks = ceil(counts/C))
     tiles_x_ref,  # SMEM (1,)
-    params_hbm,  # ANY (T, K/C, 2F, C) u16 — contiguous chunk blocks
+    params_hbm,  # ANY (n_blocks_total, 2F, C) u16 — flat chunk blocks
     packed_g_ref,  # VMEM (1, CH_PAD, P)
-    d_params_hbm,  # ANY out (T, K/C, F, C) f32 — contiguous chunk blocks
+    d_params_hbm,  # ANY out (n_blocks_total, F, C) f32 — flat chunk blocks
     in_scratch,  # VMEM (2, 2F, C) u16
     out_scratch,  # VMEM (2, F, C) f32
     in_sems,  # DMA (2,)
@@ -62,8 +64,9 @@ def _bwd_kernel(
 ):
     t = pl.program_id(0)
     n_proc = n_proc_ref[t]
+    base = bstart_ref[t]
     tiles_x = tiles_x_ref[0]
-    total_chunks = params_hbm.shape[1]
+    total_chunks = pl.cdiv(counts_ref[t], C)
 
     tile_x0 = ((t % tiles_x) * TILE).astype(jnp.float32)
     tile_y0 = ((t // tiles_x) * TILE).astype(jnp.float32)
@@ -87,7 +90,7 @@ def _bwd_kernel(
     def get_in_dma(slot, chunk_idx):
         # Contiguous (2F, C) chunk blocks; see pallas_composite.get_dma.
         return pltpu.make_async_copy(
-            params_hbm.at[t, chunk_idx],
+            params_hbm.at[base + chunk_idx],
             in_scratch.at[slot],
             in_sems.at[slot],
         )
@@ -95,7 +98,7 @@ def _bwd_kernel(
     def out_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
             out_scratch.at[slot],
-            d_params_hbm.at[t, chunk_idx],
+            d_params_hbm.at[base + chunk_idx],
             out_sems.at[slot],
         )
 
@@ -126,7 +129,9 @@ def _bwd_kernel(
         cb = chunk[3, :][:, None]
         cc = chunk[4, :][:, None]
         op = chunk[5, :][:, None]
-        colors = chunk[6 : 6 + CH_PAD, :]  # (CH_PAD, C)
+        colors = jnp.concatenate(
+            [chunk[6:F], jnp.zeros((CH_PAD - (F - 6), C), jnp.float32)]
+        )  # (CH_PAD, C)
 
         dx = px - mx  # (C, P)
         dy = py - my
@@ -167,8 +172,7 @@ def _bwd_kernel(
                 d_cb[None, :],
                 d_cc[None, :],
                 d_op[None, :],
-                d_colors,
-                jnp.zeros((F - 6 - CH_PAD, C), jnp.float32),
+                d_colors[: F - 6],
             ],
             axis=0,
         )  # (F, C)
@@ -226,18 +230,24 @@ def _bwd_kernel(
 
 
 def pallas_composite_bwd(
-    params_u: jax.Array,  # (T, Kpad/C, 2F, C) u16 chunk blocks
+    params_u: jax.Array,  # (n_blocks_total, 2F, C) u16 flat chunk blocks
     n_proc: jax.Array,  # (T,) chunks processed by the forward
+    block_start: jax.Array,  # (T,) chunk base per tile
     packed_g: jax.Array,  # (T, CH_PAD, P): see module docstring
     tiles_x: int,
+    max_blocks: int,  # unused; API parity with the forward core
+    counts: jax.Array | None = None,  # (T,) list lengths; None -> n_proc
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns d_params as (T, Kpad/C, F, C) f32 chunk blocks."""
-    num_tiles, n_chunks, f2, c = params_u.shape
+    """Returns d_params as (n_blocks_total, F, C) f32 flat chunk blocks."""
+    nb_total, f2, c = params_u.shape
     assert f2 == 2 * F and c == C and params_u.dtype == jnp.uint16
+    num_tiles = n_proc.shape[0]
+    if counts is None:
+        counts = n_proc * C  # every tile chunk was processed
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -255,7 +265,7 @@ def pallas_composite_bwd(
     )
     return pl.pallas_call(
         _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, n_chunks, F, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb_total, F, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -263,6 +273,8 @@ def pallas_composite_bwd(
         ),
     )(
         n_proc,
+        block_start,
+        counts,
         jnp.asarray([tiles_x], jnp.int32),
         params_u,
         packed_g,

@@ -31,7 +31,13 @@ class ProjectedGaussians(NamedTuple):
     conic_b: jax.Array  # (g,) ... b
     conic_c: jax.Array  # (g,) ... c
     depth: jax.Array  # (g,) camera-space z
-    radius: jax.Array  # (g,) screen-space radius in pixels (3 sigma)
+    # Per-axis half-extents (pixels) of the region where alpha can reach
+    # MIN_ALPHA: sqrt(t * cov2d_diag) with t = 2 ln(255 * opacity).
+    # Tighter than the CUDA reference's circular 3-sigma radius (which
+    # ignores opacity and anisotropy) yet renders identically: pixels
+    # outside have alpha < MIN_ALPHA, which compositing zeroes anyway.
+    radius_x: jax.Array  # (g,)
+    radius_y: jax.Array  # (g,)
     color: jax.Array  # (channels, g)
     opacity: jax.Array  # (g,)
     valid: jax.Array  # (g,) bool
@@ -145,16 +151,21 @@ def project_gaussians(
     conic_b = -b / safe_det
     conic_c = a / safe_det
 
-    mid = 0.5 * (a + c)
-    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+    # alpha(p) = op * exp(-q(p)/2) >= MIN_ALPHA iff q(p) <= t; the
+    # ellipse q <= t spans +-sqrt(t * cov_xx) in x and +-sqrt(t * cov_yy)
+    # in y (a and c are the dilated 2D covariance diagonal). The ceil
+    # keeps the pixel-center coverage conservative.
+    t_cut = 2.0 * jnp.log(jnp.maximum(opacities, MIN_ALPHA) / MIN_ALPHA)
+    radius_x = jnp.ceil(jnp.sqrt(jnp.maximum(t_cut * a, 0.0)))
+    radius_y = jnp.ceil(jnp.sqrt(jnp.maximum(t_cut * c, 0.0)))
 
-    # Screen-bounds cull: the Gaussian's bbox must intersect the image.
+    # Screen-bounds cull: the Gaussian's reachable box must intersect the
+    # image.
     on_screen = (
-        (mean_x + radius > 0)
-        & (mean_x - radius < w)
-        & (mean_y + radius > 0)
-        & (mean_y - radius < h)
+        (mean_x + radius_x > 0)
+        & (mean_x - radius_x < w)
+        & (mean_y + radius_y > 0)
+        & (mean_y - radius_y < h)
     )
     valid = (depth > NEAR_CLIP) & (det > 0) & on_screen & (opacities > MIN_ALPHA)
 
@@ -192,7 +203,8 @@ def project_gaussians(
         conic_b=conic_b.astype(dtype),
         conic_c=conic_c.astype(dtype),
         depth=depth,
-        radius=jnp.where(valid, radius, 0.0),
+        radius_x=jnp.where(valid, radius_x, 0.0),
+        radius_y=jnp.where(valid, radius_y, 0.0),
         color=color.astype(dtype),
         opacity=opacities,
         valid=valid,

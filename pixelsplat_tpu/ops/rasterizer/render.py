@@ -43,6 +43,11 @@ class RenderSettings:
     big_capacity: int = 256
     # Depth-chunk size of the compositing scan.
     chunk: int = 128
+    # Total (gaussian, tile) pair slots across all tiles (None = 2x the
+    # Gaussian count). The flat pair array makes gather/DMA work scale
+    # with actual pairs instead of tiles x capacity; overflow reports
+    # when a scene exceeds it.
+    pair_budget: Optional[int] = None
 
 
 DEFAULT_SETTINGS = RenderSettings()
@@ -90,6 +95,8 @@ def _render_single(
         capacity=settings.capacity,
         span=settings.span,
         big_capacity=settings.big_capacity,
+        chunk=settings.chunk,
+        pair_budget=settings.pair_budget,
     )
     if return_overflow:
         image = composite_tiles(
@@ -99,6 +106,7 @@ def _render_single(
             background,
             tile_size=settings.tile_size,
             chunk=settings.chunk,
+            capacity=settings.capacity,
         )
         return image, tiles.overflow
     return composite_tiles(
@@ -108,6 +116,7 @@ def _render_single(
         background,
         tile_size=settings.tile_size,
         chunk=settings.chunk,
+        capacity=settings.capacity,
     )
 
 

@@ -11,14 +11,16 @@ from pixelsplat_tpu.ops.rasterizer.composite import (
 )
 from pixelsplat_tpu.ops.rasterizer.pallas_backward import pallas_composite_bwd
 from pixelsplat_tpu.ops.rasterizer.pallas_composite import (
+    F,
     NPROC_CH,
     TRANS_CH,
     pallas_composite_core,
     unpack_rows,
 )
 
-T, F, K = 2, 16, 256
+T, K = 2, 256
 TILES_X = 2
+MAXB = K // 128
 
 
 @pytest.fixture(scope="module")
@@ -38,27 +40,41 @@ def scene():
     return jnp.asarray(params), jnp.asarray(counts)
 
 
-def to_u16(params):
-    """(T, F, K) f32 oracle layout -> (T, K/C, 2F, C) u16 chunk blocks."""
+def to_flat_u16(params, counts):
+    """(T, F, K) f32 oracle layout -> production flat layout:
+    (n_blocks + margin, 2F, C) u16 blocks (ceil(count/C) blocks per tile,
+    zero margin for the DMA lookahead) + (T,) block starts.
+    """
     t, f, k = params.shape
     rows = pack_table_u16(params.transpose(0, 2, 1))  # (T, K, 2F)
-    return rows.reshape(t, k // 128, 128, 2 * f).transpose(0, 1, 3, 2)
+    blocks, bstart = [], []
+    for ti in range(t):
+        nbt = max(1, -(-int(counts[ti]) // 128))
+        bstart.append(len(blocks))
+        for j in range(nbt):
+            blocks.append(rows[ti, j * 128 : (j + 1) * 128].T)  # (2F, C)
+    for _ in range(MAXB):
+        blocks.append(jnp.zeros_like(blocks[0]))
+    return jnp.stack(blocks), jnp.asarray(bstart, jnp.int32)
 
 
 def test_u16_roundtrip_is_bit_exact(scene):
-    params, _ = scene
-    back = jax.vmap(jax.vmap(unpack_rows))(to_u16(params))  # (T, K/C, F, C)
+    params, counts = scene
+    flat, bstart = to_flat_u16(params, counts)
+    back = jax.vmap(unpack_rows)(flat)  # (NB, F, C)
     t, f, k = params.shape
-    back = jnp.transpose(back, (0, 2, 1, 3)).reshape(t, f, k)
+    # Tile 0 is fully resident: its two blocks must round-trip exactly.
+    got = np.asarray(back[0:2]).transpose(1, 0, 2).reshape(f, 256)
     assert (
-        np.asarray(back).view(np.uint32) == np.asarray(params).view(np.uint32)
+        got.view(np.uint32) == np.asarray(params[0]).view(np.uint32)
     ).all()
 
 
 def test_forward_matches_xla(scene):
     params, counts = scene
+    flat, bstart = to_flat_u16(params, counts)
     acc_p, trans_p, n_proc = pallas_composite_core(
-        to_u16(params), counts, TILES_X, interpret=True
+        flat, counts, bstart, TILES_X, MAXB, interpret=True
     )  # acc_p: (T, CH_PAD, P)
     acc_x, trans_x = _xla_composite_core(params, counts, TILES_X)
     np.testing.assert_allclose(
@@ -79,8 +95,9 @@ def test_backward_matches_xla_autodiff(scene):
 
     # Drive the pallas backward with the same cotangents the XLA loss
     # produces: dL/dacc = 2*acc (channels 0..2), dL/dtrans = 0.3.
+    flat, bstart = to_flat_u16(params, counts)
     acc, trans, n_proc = pallas_composite_core(
-        to_u16(params), counts, TILES_X, interpret=True
+        flat, counts, bstart, TILES_X, MAXB, interpret=True
     )  # acc: (T, CH_PAD, P)
     g_acc = (2.0 * acc).at[:, 3:, :].set(0.0)
     g_trans = jnp.full_like(trans, 0.3)
@@ -88,25 +105,35 @@ def test_backward_matches_xla_autodiff(scene):
         g_acc.at[:, NPROC_CH, :].set(trans).at[:, TRANS_CH, :].set(g_trans)
     )
     g_pallas = pallas_composite_bwd(
-        to_u16(params), n_proc, packed_g, TILES_X, interpret=True
+        flat, n_proc, bstart, packed_g, TILES_X, MAXB,
+        counts=counts, interpret=True,
     )
 
     gx = np.asarray(g_xla)
-    # (T, K/C, F, C) chunk blocks -> (T, F, K).
-    gp = np.asarray(g_pallas).transpose(0, 2, 1, 3).reshape(gx.shape)
-    for row in range(9):
-        scale = np.abs(gx[:, row]).max() + 1e-9
-        np.testing.assert_allclose(
-            gp[:, row] / scale, gx[:, row] / scale, atol=5e-3,
-            err_msg=f"row {row}",
-        )
+    gp = np.asarray(g_pallas)  # (NB, F, C) flat blocks
+    # Entries past a tile's count carry zero opacity: the XLA grad is
+    # exactly zero there (the alpha `where` gates it), and the flat
+    # layout simply has no blocks for them.
+    assert np.abs(gx[1, :, K // 2 :]).max() == 0.0
+    per_tile = {
+        0: gp[0:2].transpose(1, 0, 2).reshape(F, 256),
+        1: np.concatenate([gp[2], np.zeros((F, 128), np.float32)], axis=1),
+    }
+    for ti, got in per_tile.items():
+        for row in range(9):
+            scale = np.abs(gx[ti, row]).max() + 1e-9
+            np.testing.assert_allclose(
+                got[row] / scale, gx[ti, row] / scale, atol=5e-3,
+                err_msg=f"tile {ti} row {row}",
+            )
 
 
 def test_empty_tile(scene):
     params, _ = scene
     counts = jnp.asarray([0, 0], jnp.int32)
+    flat, bstart = to_flat_u16(params, jnp.asarray([K, K // 2]))
     acc, trans, n_proc = pallas_composite_core(
-        to_u16(params), counts, TILES_X, interpret=True
+        flat, counts, bstart, TILES_X, MAXB, interpret=True
     )
     np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(trans), 1.0, atol=1e-7)
