@@ -132,17 +132,26 @@ def convert_image_self_attention(sd: Mapping, prefix: str, depth: int) -> dict:
 # Backbones
 
 
-def convert_resnet(sd: Mapping, prefix: str, model: str, num_layers: int) -> dict:
+def convert_resnet(
+    sd: Mapping,
+    prefix: str,
+    model: str,
+    num_layers: int,
+    include_projections: bool = True,
+) -> dict:
     """Reference BackboneResnet: model.* (torchvision/dino resnet) +
-    projections.layerN 1x1 convs."""
+    projections.layerN 1x1 convs. `include_projections=False` converts
+    only the torchvision trunk (for raw hub checkpoints, which have no
+    pixelSplat projection heads)."""
     from ..model.encoder.backbone.resnet import RESNET_SPECS
 
     block_kind, stage_sizes = RESNET_SPECS[model]
     has_bn_params = f"{prefix}.model.bn1.weight" in sd
     out: dict = {
         "conv1": convert_conv(sd, f"{prefix}.model.conv1", bias=False),
-        "projection0": convert_conv(sd, f"{prefix}.projections.layer0"),
     }
+    if include_projections:
+        out["projection0"] = convert_conv(sd, f"{prefix}.projections.layer0")
     if has_bn_params:
         out["bn1"] = convert_batchnorm(sd, f"{prefix}.model.bn1")
 
@@ -165,9 +174,10 @@ def convert_resnet(sd: Mapping, prefix: str, model: str, num_layers: int) -> dic
                 if has_bn_params:
                     blk["bn_ds"] = convert_batchnorm(sd, f"{tp}.downsample.1")
             out[f"layer{stage}_block{i}"] = blk
-        out[f"projection{stage}"] = convert_conv(
-            sd, f"{prefix}.projections.layer{stage}"
-        )
+        if include_projections:
+            out[f"projection{stage}"] = convert_conv(
+                sd, f"{prefix}.projections.layer{stage}"
+            )
     return out
 
 

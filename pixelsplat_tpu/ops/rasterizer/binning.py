@@ -4,14 +4,16 @@ The CUDA reference duplicates each Gaussian per overlapped 16x16 tile into a
 dynamically-sized buffer and radix-sorts (tile, depth) keys. On TPU we need
 static shapes, so the design is:
 
-1. argsort Gaussians by depth once (invalid ones pushed to the end);
-2. emit up to `span`^2 (gaussian, tile) candidate pairs per Gaussian as
-   packed integer keys `tile_id * G + depth_rank` (invalid slots get a
-   sentinel that sorts to the end);
-3. one stable single-key sort puts pairs in (tile-major, depth) order —
-   depth rank rides in the low bits, so no payload array is needed;
-4. per-tile segments are recovered with searchsorted, and fixed-capacity
-   per-tile lists are gathered (overflow drops the *farthest* Gaussians).
+1. emit up to `span`^2 (gaussian, tile) candidate pairs per Gaussian as
+   packed integer keys `tile_id << depth_bits | quantized_depth` — the
+   top bits of the positive-f32 depth's bit pattern order exactly like
+   the float, so no global depth argsort or rank bookkeeping exists at
+   all (invalid slots get a sentinel that sorts to the end);
+2. one single-key sort (Gaussian id as payload) puts pairs in
+   (tile-major, depth) order;
+3. per-tile segments are recovered with searchsorted and written at
+   chunk-aligned offsets of one flat budgeted array (overflow drops the
+   *farthest* Gaussians).
 
 Gaussians spanning more than `span`x`span` tiles ("big" ones — rare, close
 to the camera) don't fit the pair budget; the nearest `big_capacity` of
@@ -89,20 +91,14 @@ def bin_gaussians(
     big_capacity = min(big_capacity, g)
     capacity = min(capacity, g * span * span)
 
-    # 1. Depth ranks (invalid to the end). No physical reorder: ranks ride
-    # in the key's low bits, so the bbox math below runs on the original
-    # (structure-of-arrays) vectors with no gather at all. The rank of each
-    # Gaussian is the inverse of the depth argsort permutation, recovered
-    # with a second small sort.
-    sort_key = jnp.where(projected.valid, projected.depth, jnp.inf)
-    # stable=False everywhere: keys are unique (or ties don't matter), and
-    # XLA's stable sort drags an extra iota tiebreaker array through every
-    # bitonic pass.
-    order = jnp.argsort(sort_key, stable=False).astype(jnp.int32)  # order[r] = gid
+    # 1. Quantized depth bits, monotone in depth: positive f32 bit
+    # patterns order like the floats, so the top `depth_bits` of the
+    # pattern are a depth key directly — no global depth argsort and no
+    # rank-recovery sort (two ~0.35 ms passes at 393k). Ties at 2^-15
+    # relative depth get arbitrary compositing order; the CUDA reference
+    # radix-sorts full 32-bit depth bits, where such pairs differ by less
+    # than one blending ULP anyway.
     iota = jnp.arange(g, dtype=jnp.int32)
-    _, rank_of = jax.lax.sort(
-        (order, iota), num_keys=1, is_stable=False
-    )  # rank_of[gid] = r
     mean_x, mean_y = projected.mean_x, projected.mean_y
     radius_x, radius_y = projected.radius_x, projected.radius_y
     valid = projected.valid
@@ -119,11 +115,24 @@ def bin_gaussians(
     small = valid & (span_x <= span) & (span_y <= span)
     big = valid & ~small
 
-    # 3. Emit packed pair keys (tile-major, depth rank in the low bits) for
-    # small Gaussians, with the original Gaussian id as sort payload.
-    key_dtype = jnp.int32 if (num_tiles + 1) * g < 2**31 else jnp.int64
-    rank = rank_of.astype(key_dtype)  # depth rank of each original Gaussian
-    sentinel = jnp.asarray(num_tiles, key_dtype) * g  # sorts after all real keys
+    # 3. Emit packed pair keys (tile id in the high bits, quantized depth
+    # in the low bits) for small Gaussians, with the original Gaussian id
+    # as sort payload. int32 keys only — int64 silently truncates
+    # without jax_enable_x64 (and uint32 keys measured ~10% slower in
+    # XLA's sort); even 2048x2048 images leave 17 depth bits of relative
+    # resolution.
+    key_dtype = jnp.int32
+    depth_bits = 31 - max((num_tiles + 1).bit_length(), 1)
+    if depth_bits < 12:
+        raise NotImplementedError(
+            f"{num_tiles} tiles leave only {depth_bits} depth key bits"
+        )
+    dq_i32 = jax.lax.bitcast_convert_type(
+        jnp.maximum(projected.depth, 0.0), jnp.int32
+    ) >> (31 - depth_bits)
+    dq = dq_i32.astype(key_dtype)
+    tile_shift = jnp.asarray(1 << depth_bits, key_dtype)
+    sentinel = jnp.asarray(num_tiles, key_dtype) * tile_shift
     keys = []
     for slot in range(span * span):
         dx, dy = slot % span, slot // span
@@ -131,30 +140,34 @@ def bin_gaussians(
         ty = y0 + dy
         slot_ok = small & (dx < span_x) & (dy < span_y)
         tile_id = (ty * tiles_x + tx).astype(key_dtype)
-        keys.append(jnp.where(slot_ok, tile_id * g + rank, sentinel))
+        keys.append(jnp.where(slot_ok, tile_id * tile_shift + dq, sentinel))
     keys = jnp.concatenate(keys)
     payload = jnp.tile(iota, span * span)
 
     overflow = jnp.asarray(0, jnp.int32)
     if big_capacity > 0:
-        # 4. Global "big Gaussian" list: the first big_capacity big ones in
-        # depth order (sort+slice: XLA's top_k lowers to an 11 ms
+        # 4. Global "big Gaussian" list: the first big_capacity big ones
+        # in depth order (sort+slice: XLA's top_k lowers to an 11 ms
         # negate-reduce at this size; a plain sort is ~10x cheaper). Each
         # joins the global pair sort once per tile, so the per-tile lists
         # come out depth-ordered with no separate merge pass.
-        big_key = jnp.where(big, rank.astype(jnp.int32), g)
+        # dq < 2^31 always (top bit of a positive f32 pattern is 0), so
+        # int32 holds it and 2^31 - 1 is a safe invalid sentinel.
+        big_inf = jnp.asarray(2**31 - 1, jnp.int32)
+        big_dq = jnp.where(big, dq_i32, big_inf)
         big_sorted, big_gid_sorted = jax.lax.sort(
-            (big_key, iota), num_keys=1, is_stable=False
+            (big_dq, iota), num_keys=1, is_stable=False
         )
-        big_ranks = big_sorted[:big_capacity]
-        big_valid = big_ranks < g
+        big_dqs = big_sorted[:big_capacity]
+        big_valid = big_dqs < big_inf
         big_gids = jnp.where(big_valid, big_gid_sorted[:big_capacity], g)
         overflow = overflow + jnp.maximum(big.sum() - big_capacity, 0)
 
         all_tiles = jnp.arange(num_tiles, dtype=key_dtype)
         big_keys = jnp.where(
             big_valid[None, :],
-            all_tiles[:, None] * g + big_ranks.astype(key_dtype)[None, :],
+            all_tiles[:, None] * tile_shift
+            + big_dqs.astype(key_dtype)[None, :],
             sentinel,
         )
         keys = jnp.concatenate([keys, big_keys.reshape(-1)])
@@ -177,8 +190,12 @@ def bin_gaussians(
     # `capacity` window each: a tile's spill past its own (shorter)
     # padded segment lands in the next tile's region and is overwritten
     # by that tile's own write.
-    starts = jnp.searchsorted(keys, jnp.arange(num_tiles, dtype=key_dtype) * g)
-    ends = jnp.searchsorted(keys, (jnp.arange(num_tiles, dtype=key_dtype) + 1) * g)
+    starts = jnp.searchsorted(
+        keys, jnp.arange(num_tiles, dtype=key_dtype) * tile_shift
+    )
+    ends = jnp.searchsorted(
+        keys, (jnp.arange(num_tiles, dtype=key_dtype) + 1) * tile_shift
+    )
     raw_counts = (ends - starts).astype(jnp.int32)
     counts = jnp.minimum(raw_counts, capacity)
     overflow = overflow + (raw_counts - counts).sum()

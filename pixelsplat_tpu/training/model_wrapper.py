@@ -82,6 +82,14 @@ class ModelWrapper:
         params = jax.jit(
             lambda r, c: self.encoder.init(r, c, jnp.asarray(0), True)
         )(rngs, batch["context"])
+        # Reference recipe: DINO-pretrained backbone trunks, random
+        # heads (backbone_resnet.py:43, backbone_dino.py:21-40). No-op
+        # unless tools/export_dino_weights.py has been run.
+        from ..interop.pretrained import init_backbone_from_pretrained
+
+        params, n_grafted = init_backbone_from_pretrained(params, self.encoder_cfg)
+        if n_grafted:
+            print(f"initialized {n_grafted} backbone tensors from pretrained DINO weights")
         opt_state = self.optimizer.init(params)
         return TrainState(params=params, opt_state=opt_state, step=jnp.asarray(0))
 
