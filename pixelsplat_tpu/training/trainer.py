@@ -217,6 +217,23 @@ class Trainer:
                 self.logger.log_image(
                     "cameras", np.asarray(cams[0]), step=step
                 )
+                # Full encoder figure set (epipolar samples/colors,
+                # overlaps, attention, Gaussian panels + histograms) -
+                # reference encoder_visualizer_epipolar.py:36-128.
+                from ..model.encoder.visualization.encoder_visualizer_epipolar import (  # noqa: E501
+                    EncoderVisualizerEpipolar,
+                    EncoderVisualizerEpipolarCfg,
+                )
+
+                visualizer = EncoderVisualizerEpipolar(
+                    EncoderVisualizerEpipolarCfg(),
+                    self.wrapper.encoder,
+                    state.params,
+                )
+                for name, figure in visualizer.visualize(
+                    arrays["context"], step
+                ).items():
+                    self.logger.log_image(f"encoder/{name}", figure, step=step)
                 self.render_video_wobble(state, batch, step)
                 self.render_video_interpolation(state, batch, step)
             except Exception as exc:  # visualization must never kill training

@@ -9,7 +9,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rendering import render_primitives_over_image
+from .rendering import (
+    render_colored_primitives_over_image,
+    render_primitives_over_image,
+)
 
 
 def _segment_distance(
@@ -42,7 +45,7 @@ def _segment_distance(
         d = jnp.linalg.norm(p - closest, axis=-1)
     else:
         raise ValueError(f"unknown cap {cap!r}")
-    return d.min(axis=-1)
+    return d
 
 
 def draw_lines(
@@ -56,7 +59,18 @@ def draw_lines(
     start = jnp.asarray(start, jnp.float32)
     end = jnp.asarray(end, jnp.float32)
 
-    def distance(coords):
-        return _segment_distance(coords, start, end, cap) - width / 2.0
+    color = jnp.asarray(color, jnp.float32)
+    if color.ndim == 2:  # per-segment colors
+        def distances(coords):
+            return _segment_distance(coords, start, end, cap) - width / 2.0
 
-    return render_primitives_over_image(jnp.asarray(image), distance, jnp.asarray(color))
+        return render_colored_primitives_over_image(
+            jnp.asarray(image), distances, color
+        )
+
+    def distance(coords):
+        return (_segment_distance(coords, start, end, cap) - width / 2.0).min(
+            axis=-1
+        )
+
+    return render_primitives_over_image(jnp.asarray(image), distance, color)

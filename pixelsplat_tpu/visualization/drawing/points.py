@@ -8,7 +8,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rendering import render_primitives_over_image
+from .rendering import (
+    render_colored_primitives_over_image,
+    render_primitives_over_image,
+)
 
 
 def draw_points(
@@ -21,9 +24,8 @@ def draw_points(
     """Filled discs, or rings when inner_radius > 0."""
     points = jnp.asarray(points, jnp.float32)
 
-    def distance(coords):  # (h, w, 2)
+    def per_point(coords):  # (h, w, 2) -> (h, w, n)
         d = jnp.linalg.norm(coords[:, :, None, :] - points[None, None], axis=-1)
-        d = d.min(axis=-1)
         if inner_radius > 0:
             # Ring: distance from the annulus.
             mid = 0.5 * (radius + inner_radius)
@@ -31,4 +33,12 @@ def draw_points(
             return jnp.abs(d - mid) - half
         return d - radius
 
-    return render_primitives_over_image(jnp.asarray(image), distance, jnp.asarray(color))
+    color = jnp.asarray(color, jnp.float32)
+    if color.ndim == 2:  # per-point colors
+        return render_colored_primitives_over_image(
+            jnp.asarray(image), per_point, color
+        )
+
+    return render_primitives_over_image(
+        jnp.asarray(image), lambda c: per_point(c).min(axis=-1), color
+    )

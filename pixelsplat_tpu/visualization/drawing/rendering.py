@@ -35,5 +35,26 @@ def render_primitives_over_image(
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5
     coords = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (h, w, 2)
     alpha = coverage_from_distance(distance_fn(coords))  # (h, w)
-    color = jnp.asarray(color, image.dtype).reshape(3, 1, 1)
+    color = jnp.asarray(color, image.dtype)
+    color = jnp.broadcast_to(color.reshape(-1, 1, 1) if color.ndim else color, (3, 1, 1))
     return image * (1 - alpha)[None] + color * alpha[None]
+
+
+def render_colored_primitives_over_image(
+    image: jax.Array,  # (3, h, w)
+    distances_fn: DistanceFunction,  # coords (h, w, 2) -> (h, w, n)
+    colors: jax.Array,  # (n, 3) per-primitive colors
+) -> jax.Array:
+    """Composite n primitives, each with its own color; every pixel takes
+    the nearest primitive's color (matches the reference's per-primitive
+    color semantics for attention/probability overlays)."""
+    _, h, w = image.shape
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    coords = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    d = distances_fn(coords)  # (h, w, n)
+    idx = jnp.argmin(d, axis=-1)
+    nearest = jnp.take_along_axis(d, idx[..., None], axis=-1)[..., 0]
+    alpha = coverage_from_distance(nearest)  # (h, w)
+    col = jnp.asarray(colors, image.dtype)[idx]  # (h, w, 3)
+    return image * (1 - alpha)[None] + col.transpose(2, 0, 1) * alpha[None]
