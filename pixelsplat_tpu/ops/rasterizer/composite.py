@@ -160,14 +160,16 @@ def _xla_composite_core(
 # equivalents on TPU; see tile_gather.fast_gather_rows).
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _composite_packed(packed, idx_flat, block_start, counts, tiles_x, max_blocks):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _composite_packed(
+    packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols
+):
     """packed: (g+1, F) f32 parameter table; idx_flat: (budget,) int32
     flat chunk-aligned per-tile row-id lists (sentinel g for pad slots);
     block_start/counts: (T,) per-tile chunk base and list length.
     Returns (acc (T,CH_PAD,P), trans (T,P))."""
     return _composite_packed_fwd(
-        packed, idx_flat, block_start, counts, tiles_x, max_blocks
+        packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols
     )[0]
 
 
@@ -184,7 +186,9 @@ def _gather_params_u16(packed, idx_flat):
     return blocks.transpose(0, 2, 1)  # (budget/C, 2F, C)
 
 
-def _composite_packed_fwd(packed, idx_flat, block_start, counts, tiles_x, max_blocks):
+def _composite_packed_fwd(
+    packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols
+):
     from .pallas_composite import pallas_composite_core
 
     params_u = _gather_params_u16(packed, idx_flat)
@@ -197,7 +201,7 @@ def _composite_packed_fwd(packed, idx_flat, block_start, counts, tiles_x, max_bl
     return (acc, trans), residuals
 
 
-def _composite_packed_bwd(tiles_x, max_blocks, residuals, cotangents):
+def _composite_packed_bwd(tiles_x, max_blocks, used_cols, residuals, cotangents):
     from .pallas_backward import pallas_composite_bwd
     from .pallas_composite import NPROC_CH, TRANS_CH
     from .tile_gather import segment_sum_rows
@@ -211,9 +215,12 @@ def _composite_packed_bwd(tiles_x, max_blocks, residuals, cotangents):
         params_u, n_proc, block_start, packed_g, tiles_x, max_blocks,
         counts=counts,
     )
-    # (budget/C, F, C) chunk blocks -> (budget, F) rows.
-    d_rows = d_params.transpose(0, 2, 1).reshape(-1, F)
+    # (budget/C, F, C) chunk blocks -> (budget, F) rows. Only the
+    # geometry + active color columns carry nonzero gradients; each
+    # dropped column removes a payload operand from the segment sort.
+    d_rows = d_params.transpose(0, 2, 1).reshape(-1, F)[:, :used_cols]
     d_packed = segment_sum_rows(d_rows, idx_flat, rows)
+    d_packed = jnp.pad(d_packed, ((0, 0), (0, F - used_cols)))
     return d_packed, None, None, None
 
 
@@ -258,6 +265,7 @@ def composite_tiles(
             tiles.counts,
             tiles_x,
             -(-capacity // chunk),
+            6 + channels,
         )  # acc: (T, CH_PAD, P)
         image = (
             acc[:, :channels, :]

@@ -120,14 +120,28 @@ def segment_sum_rows(
     d_rows: jax.Array, indices: jax.Array, rows: int
 ) -> jax.Array:
     """sum of d_rows (n, f) into (rows, f) by index — the scatter-add the
-    CUDA backward does with atomics, as sort + prefix-sum differences."""
+    CUDA backward does with atomics, as sort + prefix-sum differences.
+
+    The rows ride through the index sort as u32 bit-pattern payload
+    columns instead of being permuted by a separate row gather
+    afterwards: d_rows arrives column-major from the backward kernel's
+    (blocks, f, chunk) transpose, which drops XLA's u16 row gather to
+    ~1/4 speed (strided 2-byte reads), while column slices of that
+    layout are contiguous and the bitonic sort moves them at streaming
+    bandwidth (measured 7.4 -> 4.4 ms at 820k rows x 12 columns).
+    """
     n, f = d_rows.shape
     flat = indices.reshape(-1).astype(jnp.int32)
-    pos = jnp.arange(n, dtype=jnp.int32)
     # Unstable: ties (same output row) are summed anyway, and XLA's stable
     # sort carries an extra tiebreaker array through every pass.
-    sorted_idx, perm = jax.lax.sort((flat, pos), num_keys=1, is_stable=False)
-    sorted_rows = fast_gather_rows(d_rows, perm)
+    bits = jax.lax.bitcast_convert_type(d_rows, jnp.uint32)  # (n, f)
+    sorted_all = jax.lax.sort(
+        [flat] + [bits[:, i] for i in range(f)], num_keys=1, is_stable=False
+    )
+    sorted_idx = sorted_all[0]
+    sorted_rows = jax.lax.bitcast_convert_type(
+        jnp.stack(sorted_all[1:], axis=-1), jnp.float32
+    )
     csum = jnp.concatenate(
         [jnp.zeros((1, f), sorted_rows.dtype), jnp.cumsum(sorted_rows, axis=0)]
     )
