@@ -37,8 +37,8 @@ def test_lpips_gating(monkeypatch):
     )
     loss = LossLpips(LossLpipsCfg(weight=0.05, apply_after_step=100))
     key = jax.random.PRNGKey(0)
-    pred = _FakeOutput(jax.random.uniform(key, (1, 1, 3, 64, 64)))
-    batch = {"target": {"image": jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 3, 64, 64))}}
+    pred = _FakeOutput(jax.random.uniform(key, (1, 1, 3, 32, 32)))
+    batch = {"target": {"image": jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 3, 32, 32))}}
     before = loss(pred, batch, None, jnp.asarray(50))
     after = loss(pred, batch, None, jnp.asarray(150))
     assert float(before) == 0.0

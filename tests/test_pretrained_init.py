@@ -16,6 +16,9 @@ import numpy as np
 import pytest
 import torch
 
+# Full ViT-B trunk inits/compiles: ~2 min on CPU.
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
