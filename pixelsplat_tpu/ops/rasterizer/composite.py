@@ -160,38 +160,38 @@ def _xla_composite_core(
 # equivalents on TPU; see tile_gather.fast_gather_rows).
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _composite_packed(
-    packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols
+    packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols, chunk
 ):
     """packed: (g+1, F) f32 parameter table; idx_flat: (budget,) int32
     flat chunk-aligned per-tile row-id lists (sentinel g for pad slots);
     block_start/counts: (T,) per-tile chunk base and list length.
     Returns (acc (T,CH_PAD,P), trans (T,P))."""
     return _composite_packed_fwd(
-        packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols
+        packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols,
+        chunk,
     )[0]
 
 
-def _gather_params_u16(packed, idx_flat):
-    from .pallas_composite import C as PC
+def _gather_params_u16(packed, idx_flat, chunk=128):
     from .pallas_composite import F as PF
 
     table_u = pack_table_u16(packed)  # (g+1, 2F) u16
     rows_u = table_u[idx_flat]  # (budget, 2F) — 16-bit fast-path gather
-    # The kernel wants contiguous (2F, C) chunk blocks (a strided chunk
+    # The kernel wants contiguous (2F, chunk) blocks (a strided chunk
     # read left it DMA-latency-bound); the local transpose fuses into the
     # gather's output layout assignment (measured free on v5e).
-    blocks = rows_u.reshape(-1, PC, 2 * PF)
-    return blocks.transpose(0, 2, 1)  # (budget/C, 2F, C)
+    blocks = rows_u.reshape(-1, chunk, 2 * PF)
+    return blocks.transpose(0, 2, 1)  # (budget/chunk, 2F, chunk)
 
 
 def _composite_packed_fwd(
-    packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols
+    packed, idx_flat, block_start, counts, tiles_x, max_blocks, used_cols, chunk
 ):
     from .pallas_composite import pallas_composite_core
 
-    params_u = _gather_params_u16(packed, idx_flat)
+    params_u = _gather_params_u16(packed, idx_flat, chunk)
     acc, trans, n_proc = pallas_composite_core(
         params_u, counts, block_start, tiles_x, max_blocks
     )
@@ -201,7 +201,9 @@ def _composite_packed_fwd(
     return (acc, trans), residuals
 
 
-def _composite_packed_bwd(tiles_x, max_blocks, used_cols, residuals, cotangents):
+def _composite_packed_bwd(
+    tiles_x, max_blocks, used_cols, chunk, residuals, cotangents
+):
     from .pallas_backward import pallas_composite_bwd
     from .pallas_composite import NPROC_CH, TRANS_CH
     from .tile_gather import segment_sum_rows
@@ -266,6 +268,7 @@ def composite_tiles(
             tiles_x,
             -(-capacity // chunk),
             6 + channels,
+            chunk,
         )  # acc: (T, CH_PAD, P)
         image = (
             acc[:, :channels, :]

@@ -52,21 +52,23 @@ from .pallas_composite import (
 def _bwd_kernel(
     n_proc_ref,  # SMEM (T,) chunks the forward processed
     bstart_ref,  # SMEM (T,) per-tile chunk base in the flat block array
-    counts_ref,  # SMEM (T,) list lengths (total chunks = ceil(counts/C))
+    counts_ref,  # SMEM (T,) list lengths (total chunks = ceil(counts/c))
     tiles_x_ref,  # SMEM (1,)
-    params_hbm,  # ANY (n_blocks_total, 2F, C) u16 — flat chunk blocks
+    params_hbm,  # ANY (n_blocks_total, 2F, c) u16 — flat chunk blocks
     packed_g_ref,  # VMEM (1, CH_PAD, P)
-    d_params_hbm,  # ANY out (n_blocks_total, F, C) f32 — flat chunk blocks
-    in_scratch,  # VMEM (2, 2F, C) u16
-    out_scratch,  # VMEM (2, F, C) f32
+    d_params_hbm,  # ANY out (n_blocks_total, F, c) f32 — flat chunk blocks
+    in_scratch,  # VMEM (2, 2F, c) u16
+    out_scratch,  # VMEM (2, F, c) f32
     in_sems,  # DMA (2,)
     out_sems,  # DMA (2,)
+    *,
+    c: int,  # depth-chunk size (see pallas_composite._kernel)
 ):
     t = pl.program_id(0)
     n_proc = n_proc_ref[t]
     base = bstart_ref[t]
     tiles_x = tiles_x_ref[0]
-    total_chunks = pl.cdiv(counts_ref[t], C)
+    total_chunks = pl.cdiv(counts_ref[t], c)
 
     tile_x0 = ((t % tiles_x) * TILE).astype(jnp.float32)
     tile_y0 = ((t // tiles_x) * TILE).astype(jnp.float32)
@@ -74,8 +76,8 @@ def _bwd_kernel(
     px = tile_x0 + (within % TILE).astype(jnp.float32)
     py = tile_y0 + (within // TILE).astype(jnp.float32)
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    col_j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
     upper_incl = (col_j >= row_i).astype(jnp.float32)
     upper_strict = (col_j > row_i).astype(jnp.float32)
 
@@ -108,7 +110,7 @@ def _bwd_kernel(
 
     log_t_end0 = jnp.log(jnp.maximum(trans_final, 1e-30))  # (1, P)
     s_run0 = g_trans * trans_final  # (1, P)
-    zero_chunk = jnp.zeros((F, C), jnp.float32)
+    zero_chunk = jnp.zeros((F, c), jnp.float32)
 
     def body(k, state):
         # k counts processed-from-the-back; chunk index i walks backward.
@@ -130,7 +132,7 @@ def _bwd_kernel(
         cc = chunk[4, :][:, None]
         op = chunk[5, :][:, None]
         colors = jnp.concatenate(
-            [chunk[6:F], jnp.zeros((CH_PAD - (F - 6), C), jnp.float32)]
+            [chunk[6:F], jnp.zeros((CH_PAD - (F - 6), c), jnp.float32)]
         )  # (CH_PAD, C)
 
         dx = px - mx  # (C, P)
@@ -239,12 +241,12 @@ def pallas_composite_bwd(
     counts: jax.Array | None = None,  # (T,) list lengths; None -> n_proc
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns d_params as (n_blocks_total, F, C) f32 flat chunk blocks."""
+    """Returns d_params as (n_blocks_total, F, c) f32 flat chunk blocks."""
     nb_total, f2, c = params_u.shape
-    assert f2 == 2 * F and c == C and params_u.dtype == jnp.uint16
+    assert f2 == 2 * F and c == 128 and params_u.dtype == jnp.uint16
     num_tiles = n_proc.shape[0]
     if counts is None:
-        counts = n_proc * C  # every tile chunk was processed
+        counts = n_proc * c  # every tile chunk was processed
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -257,15 +259,15 @@ def pallas_composite_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * F, C), jnp.uint16),
-            pltpu.VMEM((2, F, C), jnp.float32),
+            pltpu.VMEM((2, 2 * F, c), jnp.uint16),
+            pltpu.VMEM((2, F, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((nb_total, F, C), jnp.float32),
+        functools.partial(_bwd_kernel, c=c),
+        out_shape=jax.ShapeDtypeStruct((nb_total, F, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

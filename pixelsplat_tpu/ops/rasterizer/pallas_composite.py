@@ -89,6 +89,8 @@ def _kernel(
     *,
     quarter: int,  # chunks per prefetch DMA (divides max_blocks)
     tiles_per_program: int,
+    c: int,  # depth-chunk size (<= 128; smaller chunks shrink the
+    # quadratic prefix-matmul work per pair at finer early-exit grain)
 ):
     # Each grid program handles `tiles_per_program` tiles: one grid step
     # costs ~6.6 us of fixed overhead (measured with count=0), which at
@@ -97,9 +99,9 @@ def _kernel(
     tiles_x = tiles_x_ref[0]
 
     # Strictly-lower-triangular ones for the in-chunk exclusive prefix sum.
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    col_j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    lower = (col_j < row_i).astype(jnp.bfloat16)  # (C, C), exact in bf16
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    lower = (col_j < row_i).astype(jnp.bfloat16)  # (c, c), exact in bf16
 
     # Quadratic pixel basis in tile-local coordinates: the per-pixel
     # Gaussian exponent becomes one (C, 8) @ (8, P) MXU matmul instead of
@@ -128,7 +130,7 @@ def _kernel(
     basis = jnp.concatenate([basis1, basis1, basis1], axis=0)  # (24, P)
 
     def n_quarters_of(t):
-        return pl.cdiv(pl.cdiv(counts_ref[t], C), quarter)
+        return pl.cdiv(pl.cdiv(counts_ref[t], c), quarter)
 
     def get_dma(slot, t, q):
         # One DMA per `quarter` chunks (a contiguous 8 KB * quarter
@@ -150,7 +152,7 @@ def _kernel(
         t = t0 + lt
         slot = lt % 2
         count = counts_ref[t]
-        n_chunks = pl.cdiv(count, C)
+        n_chunks = pl.cdiv(count, c)
         n_quarters = pl.cdiv(n_chunks, quarter)
 
         # The other slot is fully drained (tile lt-1 finished with it), so
@@ -235,7 +237,7 @@ def _kernel(
             weight = alpha * t_before  # (C, P)
 
             colors = jnp.concatenate(
-                [chunk[6:F], jnp.zeros((CH_PAD - (F - 6), C), jnp.float32)]
+                [chunk[6:F], jnp.zeros((CH_PAD - (F - 6), c), jnp.float32)]
             )  # (CH_PAD, C); spare rows feed the n_proc/trans channels
             acc = acc + jnp.dot(
                 colors, weight, preferred_element_type=jnp.float32
@@ -286,7 +288,10 @@ def pallas_composite_core(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (acc (T, CH_PAD, P), trans (T, P), n_processed (T,))."""
     nb_total, f2, c = params_u.shape
-    assert f2 == 2 * F and c == C and params_u.dtype == jnp.uint16
+    # Mosaic DMA slices must be 128-lane aligned, so the chunk (lane) dim
+    # is fixed at 128 (sub-128 chunks would halve the prefix-matmul work
+    # per pair but cannot stream).
+    assert f2 == 2 * F and c == 128 and params_u.dtype == jnp.uint16
     num_tiles = counts.shape[0]
     quarter = next(q for q in (8, 4, 2, 1) if max_blocks % q == 0)
     tpb = next(q for q in (16, 8, 4, 2, 1) if num_tiles % q == 0)
@@ -299,12 +304,14 @@ def pallas_composite_core(
             (tpb, CH_PAD, P), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, max_blocks, 2 * F, C), jnp.uint16),
+            pltpu.VMEM((2, max_blocks, 2 * F, c), jnp.uint16),
             pltpu.SemaphoreType.DMA((2, max_blocks // quarter)),
         ],
     )
     packed = pl.pallas_call(
-        functools.partial(_kernel, quarter=quarter, tiles_per_program=tpb),
+        functools.partial(
+            _kernel, quarter=quarter, tiles_per_program=tpb, c=c
+        ),
         out_shape=jax.ShapeDtypeStruct((num_tiles, CH_PAD, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
