@@ -67,6 +67,8 @@ def grid_sample_nhwc(image: jax.Array, coords: jax.Array) -> jax.Array:
 
     out = None
     flat = image.reshape(h * w, c)
+    use_u16 = flat.dtype.itemsize == 4 and jax.default_backend() != "cpu"
+
     for dx, dy, wgt in (
         (0, 0, (1 - wx) * (1 - wy)),
         (1, 0, wx * (1 - wy)),
@@ -78,10 +80,38 @@ def grid_sample_nhwc(image: jax.Array, coords: jax.Array) -> jax.Array:
         inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        tap = flat[yi_c * w + xi_c]  # (..., c) row gather
+        idx = yi_c * w + xi_c
+        tap = _tap_u16(flat, idx) if use_u16 else flat[idx]  # (..., c)
         term = tap * (wgt * inside)[..., None]
         out = term if out is None else out + term
     return out
+
+
+@jax.custom_vjp
+def _tap_u16(flat: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather through the u16 split fast path (TPU's gather emitter
+    runs ~3x faster on 16-bit rows), with the plain scatter-add backward
+    (a sort-based VJP here made the encoder's compile blow up: four taps
+    x several vmap levels each dragged their own sort pipeline)."""
+    return _tap_u16_fwd(flat, idx)[0]
+
+
+def _tap_u16_fwd(flat, idx):
+    from .rasterizer.tile_gather import fast_gather_rows
+
+    return fast_gather_rows(flat, idx), (idx, flat.shape[0])
+
+
+def _tap_u16_bwd(residuals, d_out):
+    idx, rows = residuals
+    d_flat = jnp.zeros((rows, d_out.shape[-1]), d_out.dtype)
+    d_flat = d_flat.at[idx.reshape(-1)].add(
+        d_out.reshape(-1, d_out.shape[-1])
+    )
+    return d_flat, None
+
+
+_tap_u16.defvjp(_tap_u16_fwd, _tap_u16_bwd)
 
 
 def grid_sample_batched(images: jax.Array, coords: jax.Array) -> jax.Array:
