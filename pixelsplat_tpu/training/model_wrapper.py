@@ -31,6 +31,10 @@ from .optimizer import OptimizerCfg, build_optimizer
 class TrainCfg:
     depth_mode: Optional[str] = None
     extended_visualization: bool = False
+    # Rematerialize the encoder in the backward pass (jax.checkpoint):
+    # trades encoder recompute FLOPs for activation memory, letting
+    # larger per-device batches compile on a 16 GB chip.
+    remat_encoder: bool = False
 
 
 @dataclass(frozen=True)
@@ -97,9 +101,15 @@ class ModelWrapper:
     def loss_fn(self, params, batch, step, rng):
         batch = self.data_shim(batch)
         _, _, _, h, w = batch["target"]["image"].shape
-        gaussians = self.encoder.apply(
-            params, batch["context"], step, False, rngs={"sample": rng}
-        )
+
+        def encode(params, context, step, rng):
+            return self.encoder.apply(
+                params, context, step, False, rngs={"sample": rng}
+            )
+
+        if self.train_cfg.remat_encoder:
+            encode = jax.checkpoint(encode)
+        gaussians = encode(params, batch["context"], step, rng)
         output = self.decoder(
             gaussians,
             batch["target"]["extrinsics"],
@@ -134,7 +144,7 @@ class ModelWrapper:
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, parts
 
-    def make_jit_train_step(self, mesh=None, batch_size=None):
+    def make_jit_train_step(self, mesh=None, batch_size=None, accumulate=1):
         """Data-parallel train step via shard_map over the mesh.
 
         shard_map keeps the per-device program identical to the
@@ -143,6 +153,15 @@ class ModelWrapper:
         makes the gradient all-reduce an explicit `pmean` over the data
         axis — the TPU-native analogue of the reference's DDP/NCCL
         all-reduce (src/main.py:94-98).
+
+        `accumulate` > 1 splits each device's batch into that many
+        micro-batches, lax.scan-ing value_and_grad over them and applying
+        ONE optimizer update to the averaged gradient. Optimizer-step
+        semantics match a single large batch exactly (every loss term is
+        a per-example mean, so the mean of micro-batch gradients equals
+        the large-batch gradient; clipping/Adam see only the averaged
+        gradient). This is how the reference's one-A100 batch-7 recipe
+        (config/experiment/re10k.yaml:22) fits a 16 GB v5e chip.
         """
         from jax.sharding import PartitionSpec as P
 
@@ -152,12 +171,68 @@ class ModelWrapper:
             # Use the largest device count that divides the batch.
             n = max(d for d in range(1, mesh.size + 1) if batch_size % d == 0)
             mesh = make_mesh(n)
+        if batch_size is not None:
+            per_device = batch_size // mesh.size
+            if per_device % accumulate != 0:
+                # accumulate expresses "fit the recipe in device memory":
+                # on a pod the data-parallel split already shrinks the
+                # per-device batch, so clamp to the largest divisor —
+                # e.g. the re10k batch-7 recipe accumulates 7x on one
+                # chip and not at all on a 7-device mesh.
+                eff = max(
+                    d for d in range(1, per_device + 1)
+                    if per_device % d == 0 and d <= accumulate
+                )
+                print(
+                    f"accumulate_grad_batches={accumulate} does not divide "
+                    f"per-device batch {per_device}; using {eff}"
+                )
+                accumulate = eff
+
+        def grads_and_parts(state, batch, rng):
+            if accumulate == 1:
+                (_, parts), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True
+                )(state.params, batch, state.step, rng)
+                return grads, parts
+
+            micro = jax.tree.map(
+                lambda x: x.reshape(accumulate, -1, *x.shape[1:]), batch
+            )
+            keys = jax.random.split(rng, accumulate)
+
+            def body(carry, xs):
+                g_acc, p_acc = carry
+                mb, key = xs
+                (_, parts), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True
+                )(state.params, mb, state.step, key)
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                p_acc = jax.tree.map(jnp.add, p_acc, parts)
+                return (g_acc, p_acc), None
+
+            zeros_like_f32 = lambda t: jax.tree.map(
+                lambda x: jnp.zeros(x.shape, x.dtype), t
+            )
+            g0 = zeros_like_f32(state.params)
+            # Trace one micro-batch to get the parts structure.
+            p_shapes = jax.eval_shape(
+                lambda p, mb, s, k: self.loss_fn(p, mb, s, k)[1],
+                state.params,
+                jax.tree.map(lambda x: x[0], micro),
+                state.step,
+                keys[0],
+            )
+            p0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), p_shapes)
+            (grads, parts), _ = jax.lax.scan(body, (g0, p0), (micro, keys))
+            inv = 1.0 / accumulate
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            parts = jax.tree.map(lambda p: p * inv, parts)
+            return grads, parts
 
         def per_device_step(state, batch, rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            (loss, parts), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                state.params, batch, state.step, rng
-            )
+            grads, parts = grads_and_parts(state, batch, rng)
             grads = jax.lax.pmean(grads, "data")
             parts = jax.lax.pmean(parts, "data")
             updates, opt_state = self.optimizer.update(

@@ -33,6 +33,11 @@ class TrainerCfg:
     val_check_interval: int = 250
     gradient_clip_val: float = 0.5
     log_every_n_steps: int = 10
+    # Split each device's batch into this many micro-batches, averaging
+    # gradients before the single optimizer update (identical optimizer
+    # semantics to the large batch). Lets the reference's one-A100
+    # batch-7 recipe train on a 16 GB chip.
+    accumulate_grad_batches: int = 1
 
 
 def _strip_non_arrays(batch: dict) -> dict:
@@ -83,7 +88,8 @@ class Trainer:
             print(f"Resumed from {resume_from} at step {int(state.step)}")
 
         step_fn, mesh = self.wrapper.make_jit_train_step(
-            batch_size=first_batch["context"]["image"].shape[0]
+            batch_size=first_batch["context"]["image"].shape[0],
+            accumulate=self.cfg.accumulate_grad_batches,
         )
         key = jax.random.PRNGKey(self.seed + 7)
 
@@ -116,6 +122,8 @@ class Trainer:
                     self.output_dir / "checkpoints", step, state
                 )
                 print(f"Saved checkpoint {path}")
+                if hasattr(self.logger, "log_model"):
+                    self.logger.log_model(path, step=step)
 
             if self.cfg.val_check_interval > 0 and step % self.cfg.val_check_interval == 0:
                 if val_iter is None:
@@ -282,8 +290,6 @@ class Trainer:
     def _render_video(self, state, batch, cameras, intrinsics, name, step):
         import numpy as np
 
-        from ..utils.video import save_video
-
         params = getattr(state, "params", state)
         arrays = _to_jax(_strip_non_arrays(batch))
         *_, h, w = np.asarray(arrays["context"]["image"]).shape
@@ -303,8 +309,7 @@ class Trainer:
             (h, w),
         )
         frames = np.asarray(out.color[0])  # (n, 3, h, w)
-        path = save_video(frames, Path(self.logger.path) / "video" / f"{name}_{step}.mp4")
-        return path
+        return self.logger.log_video(f"video/{name}", frames, step=step)
 
     # ------------------------------------------------------------------
     def test(
@@ -323,9 +328,12 @@ class Trainer:
 
         lpips_params, lpips_pretrained = get_lpips_params()
         if not lpips_pretrained:
+            # Like validation_step, never report LPIPS computed from random
+            # VGG weights; the summary carries lpips=None so downstream
+            # consumers see the metric was unavailable, not zero.
             print(
-                "WARNING: LPIPS weights not found; test LPIPS uses random "
-                "weights and is not comparable to published numbers."
+                "WARNING: LPIPS weights not found; skipping the LPIPS metric "
+                "(summary will carry lpips=null)."
             )
         all_metrics: dict[str, list[float]] = {"psnr": [], "ssim": [], "lpips": []}
         count = 0
@@ -361,13 +369,14 @@ class Trainer:
             all_metrics["ssim"].append(
                 float(compute_ssim(jnp.asarray(gt), jnp.asarray(color)).mean())
             )
-            all_metrics["lpips"].append(
-                float(
-                    compute_lpips(
-                        jnp.asarray(gt), jnp.asarray(color), lpips_params
-                    ).mean()
+            if lpips_pretrained:
+                all_metrics["lpips"].append(
+                    float(
+                        compute_lpips(
+                            jnp.asarray(gt), jnp.asarray(color), lpips_params
+                        ).mean()
+                    )
                 )
-            )
 
             from PIL import Image
 
@@ -384,6 +393,8 @@ class Trainer:
         self.benchmarker.dump(out_dir / name / "benchmark.json")
         self.benchmarker.dump_memory(out_dir / name / "peak_memory.json")
         summary = {k: float(np.mean(v)) for k, v in all_metrics.items() if v}
+        if not lpips_pretrained:
+            summary["lpips"] = None
         summary["num_scenes"] = count
         # The eval protocol requires zero dropped pairs: any overflow means
         # the reported metrics were computed on images with silently

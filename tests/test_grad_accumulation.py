@@ -1,0 +1,168 @@
+"""Gradient accumulation: micro-batched gradients + one optimizer update
+must be semantically identical to the large-batch step.
+
+The reference trains batch 7 on one 80 GB A100
+(/root/reference/config/experiment/re10k.yaml:19); accumulation is how that
+recipe fits a 16 GB v5e chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixelsplat_tpu.model.decoder.decoder_splatting import (
+    DecoderSplatting,
+    DecoderSplattingCfg,
+)
+from pixelsplat_tpu.ops.rasterizer import RenderSettings
+from pixelsplat_tpu.parallel.mesh import make_mesh
+from pixelsplat_tpu.training.model_wrapper import (
+    ModelWrapper,
+    TestCfg,
+    TrainCfg,
+    TrainState,
+)
+from pixelsplat_tpu.training.optimizer import OptimizerCfg
+
+from test_model import make_context, tiny_cfg
+
+B, V, H, W = 4, 2, 32, 32
+
+
+def _make_wrapper():
+    from pixelsplat_tpu.loss import LossMseCfg, get_losses
+
+    return ModelWrapper(
+        OptimizerCfg(lr=1e-3, warm_up_steps=5),
+        TrainCfg(),
+        TestCfg(),
+        tiny_cfg(),
+        DecoderSplatting(
+            DecoderSplattingCfg(
+                render=RenderSettings(capacity=128, big_capacity=16, chunk=64)
+            )
+        ),
+        get_losses([LossMseCfg()]),
+    )
+
+
+def _make_batch(key, b=B):
+    import test_model as tm
+
+    old_b = tm.B
+    tm.B = b
+    try:
+        k1, k2 = jax.random.split(key)
+        context = make_context(k1)
+        target = make_context(k2)
+    finally:
+        tm.B = old_b
+    return {"context": context, "target": target}
+
+
+def test_accumulation_machinery_exact():
+    """With an rng-free loss, accumulate=k must reproduce the large-batch
+    train step to float tolerance (summation order is the only
+    difference)."""
+    wrapper = _make_wrapper()
+    batch = _make_batch(jax.random.PRNGKey(0))
+
+    # Deterministic per-example-mean surrogate loss with the real
+    # signature: rng-independent so accumulate vs large batch is exact.
+    def det_loss(params, batch, step, rng):
+        leaves = jax.tree.leaves(params)
+        s = sum(jnp.sum(l**2) for l in leaves if l.dtype == jnp.float32)
+        img = batch["target"]["image"]
+        per_example = jnp.mean(img.reshape(img.shape[0], -1), axis=-1)
+        total = jnp.mean(per_example) * s
+        return total, {"loss/total": total}
+
+    wrapper.loss_fn = det_loss
+    state = wrapper.init_state(
+        jax.tree.map(lambda x: np.asarray(x), batch), seed=0
+    )
+
+    mesh = make_mesh(1)
+    rng = jax.random.PRNGKey(42)
+    step1, _ = wrapper.make_jit_train_step(mesh)
+    # The step donates its input state; hand each call its own copy.
+    stateA, partsA = step1(jax.tree.map(jnp.copy, state), batch, rng)
+
+    for k in (2, 4):
+        stepk, _ = wrapper.make_jit_train_step(mesh, accumulate=k)
+        stateK, partsK = stepk(jax.tree.map(jnp.copy, state), batch, rng)
+        np.testing.assert_allclose(
+            float(partsK["loss/total"]), float(partsA["loss/total"]), rtol=1e-6
+        )
+        for a, b in zip(
+            jax.tree.leaves(stateA.params), jax.tree.leaves(stateK.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+            )
+
+
+@pytest.mark.slow
+def test_accumulated_step_matches_manual_average():
+    """Real model path: the accumulate=2 step equals manually averaging
+    the two micro-batch gradients (same folded/split keys) and applying
+    one optimizer update."""
+    import optax
+
+    wrapper = _make_wrapper()
+    batch = _make_batch(jax.random.PRNGKey(1))
+    state = wrapper.init_state(
+        jax.tree.map(lambda x: np.asarray(x), batch), seed=0
+    )
+    mesh = make_mesh(1)
+    rng = jax.random.PRNGKey(7)
+
+    stepk, _ = wrapper.make_jit_train_step(mesh, batch_size=B, accumulate=2)
+    stateK, partsK = stepk(jax.tree.map(jnp.copy, state), batch, rng)
+
+    # Manual: replicate per_device_step with accumulate=2 on one device.
+    rng_dev = jax.random.fold_in(rng, 0)
+    keys = jax.random.split(rng_dev, 2)
+    micro = jax.tree.map(
+        lambda x: x.reshape(2, B // 2, *x.shape[1:]), batch
+    )
+    grads_sum = None
+    loss_sum = 0.0
+    for i in range(2):
+        mb = jax.tree.map(lambda x: x[i], micro)
+        (_, parts), grads = jax.value_and_grad(wrapper.loss_fn, has_aux=True)(
+            state.params, mb, state.step, keys[i]
+        )
+        loss_sum += float(parts["loss/total"])
+        grads_sum = (
+            grads
+            if grads_sum is None
+            else jax.tree.map(jnp.add, grads_sum, grads)
+        )
+    grads_avg = jax.tree.map(lambda g: g * 0.5, grads_sum)
+    updates, _ = wrapper.optimizer.update(
+        grads_avg, state.opt_state, state.params
+    )
+    params_manual = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(
+        float(partsK["loss/total"]), loss_sum / 2, rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(stateK.params), jax.tree.leaves(params_manual)
+    ):
+        # scan-accumulated vs python-loop summation order differs by
+        # ~1 ulp in the gradients; Adam's 1/(sqrt(v)+eps) amplifies that
+        # for near-zero second moments, hence the loose-ish tolerance.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+        )
+
+
+def test_accumulation_divisibility_clamp(capsys):
+    """accumulate clamps to the largest divisor of the per-device batch
+    (the re10k batch-7 recipe accumulates 7x on one chip, 1x on a
+    7-device mesh)."""
+    wrapper = _make_wrapper()
+    wrapper.make_jit_train_step(make_mesh(1), batch_size=3, accumulate=2)
+    assert "using 1" in capsys.readouterr().out
