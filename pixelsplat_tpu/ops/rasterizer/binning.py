@@ -8,7 +8,9 @@ static shapes, so the design is:
    packed integer keys `tile_id << depth_bits | quantized_depth` — the
    top bits of the positive-f32 depth's bit pattern order exactly like
    the float, so no global depth argsort or rank bookkeeping exists at
-   all (invalid slots get a sentinel that sorts to the end);
+   all (invalid slots get a sentinel that sorts to the end); when the
+   tile count leaves < 12 depth bits, the sort instead takes (tile_id,
+   exact depth pattern) as a two-word lexicographic key;
 2. one single-key sort (Gaussian id as payload) puts pairs in
    (tile-major, depth) order;
 3. per-tile segments are recovered with searchsorted and written at
@@ -82,6 +84,7 @@ def bin_gaussians(
     big_capacity: int = 128,
     chunk: int = 128,
     pair_budget: int | None = None,
+    force_wide_keys: bool = False,
 ) -> TileLists:
     h, w = image_shape
     tiles_x = -(-w // tile_size)
@@ -120,28 +123,41 @@ def bin_gaussians(
     # as sort payload. int32 keys only — int64 silently truncates
     # without jax_enable_x64 (and uint32 keys measured ~10% slower in
     # XLA's sort); even 2048x2048 images leave 17 depth bits of relative
-    # resolution.
+    # resolution. When the tile count leaves fewer than 12 depth bits
+    # (images beyond ~11.5k^2 at 16px tiles), the key no longer packs:
+    # fall back to a two-word (tile, depth) lexicographic sort — one
+    # extra operand through the same single sort, with *exact* f32
+    # depth order (the full 31-bit positive pattern).
     key_dtype = jnp.int32
     depth_bits = 31 - max((num_tiles + 1).bit_length(), 1)
-    if depth_bits < 12:
-        raise NotImplementedError(
-            f"{num_tiles} tiles leave only {depth_bits} depth key bits"
-        )
-    dq_i32 = jax.lax.bitcast_convert_type(
+    wide_keys = force_wide_keys or depth_bits < 12
+    depth_pattern = jax.lax.bitcast_convert_type(
         jnp.maximum(projected.depth, 0.0), jnp.int32
-    ) >> (31 - depth_bits)
+    )
+    dq_i32 = depth_pattern if wide_keys else depth_pattern >> (31 - depth_bits)
     dq = dq_i32.astype(key_dtype)
-    tile_shift = jnp.asarray(1 << depth_bits, key_dtype)
-    sentinel = jnp.asarray(num_tiles, key_dtype) * tile_shift
+    tile_shift = jnp.asarray(1 << max(depth_bits, 0), key_dtype)
+    sentinel_tile = jnp.asarray(num_tiles, key_dtype)
     keys = []
+    tile_keys = []  # wide path: separate tile-id key word
     for slot in range(span * span):
         dx, dy = slot % span, slot // span
         tx = x0 + dx
         ty = y0 + dy
         slot_ok = small & (dx < span_x) & (dy < span_y)
         tile_id = (ty * tiles_x + tx).astype(key_dtype)
-        keys.append(jnp.where(slot_ok, tile_id * tile_shift + dq, sentinel))
+        if wide_keys:
+            tile_keys.append(jnp.where(slot_ok, tile_id, sentinel_tile))
+            keys.append(dq)
+        else:
+            keys.append(
+                jnp.where(
+                    slot_ok, tile_id * tile_shift + dq, sentinel_tile * tile_shift
+                )
+            )
     keys = jnp.concatenate(keys)
+    if wide_keys:
+        tile_keys = jnp.concatenate(tile_keys)
     payload = jnp.tile(iota, span * span)
 
     overflow = jnp.asarray(0, jnp.int32)
@@ -164,13 +180,23 @@ def bin_gaussians(
         overflow = overflow + jnp.maximum(big.sum() - big_capacity, 0)
 
         all_tiles = jnp.arange(num_tiles, dtype=key_dtype)
-        big_keys = jnp.where(
-            big_valid[None, :],
-            all_tiles[:, None] * tile_shift
-            + big_dqs.astype(key_dtype)[None, :],
-            sentinel,
-        )
-        keys = jnp.concatenate([keys, big_keys.reshape(-1)])
+        if wide_keys:
+            big_tiles = jnp.where(
+                big_valid[None, :], all_tiles[:, None], sentinel_tile
+            )
+            tile_keys = jnp.concatenate([tile_keys, big_tiles.reshape(-1)])
+            big_keys = jnp.broadcast_to(
+                big_dqs.astype(key_dtype)[None, :], (num_tiles, big_capacity)
+            )
+            keys = jnp.concatenate([keys, big_keys.reshape(-1)])
+        else:
+            big_keys = jnp.where(
+                big_valid[None, :],
+                all_tiles[:, None] * tile_shift
+                + big_dqs.astype(key_dtype)[None, :],
+                sentinel_tile * tile_shift,
+            )
+            keys = jnp.concatenate([keys, big_keys.reshape(-1)])
         payload = jnp.concatenate(
             [
                 payload,
@@ -180,7 +206,16 @@ def bin_gaussians(
             ]
         )
 
-    keys, payload = jax.lax.sort((keys, payload), num_keys=1, is_stable=False)
+    if wide_keys:
+        seg_keys, _, payload = jax.lax.sort(
+            (tile_keys, keys, payload), num_keys=2, is_stable=False
+        )
+        seg_step = jnp.asarray(1, key_dtype)
+    else:
+        seg_keys, payload = jax.lax.sort(
+            (keys, payload), num_keys=1, is_stable=False
+        )
+        seg_step = tile_shift
 
     # 5. Per-tile segments + flat budgeted assembly. Each tile's list is
     # a CONTIGUOUS run of the sorted payload, read with a dynamic_slice
@@ -191,10 +226,10 @@ def bin_gaussians(
     # padded segment lands in the next tile's region and is overwritten
     # by that tile's own write.
     starts = jnp.searchsorted(
-        keys, jnp.arange(num_tiles, dtype=key_dtype) * tile_shift
+        seg_keys, jnp.arange(num_tiles, dtype=key_dtype) * seg_step
     )
     ends = jnp.searchsorted(
-        keys, (jnp.arange(num_tiles, dtype=key_dtype) + 1) * tile_shift
+        seg_keys, (jnp.arange(num_tiles, dtype=key_dtype) + 1) * seg_step
     )
     raw_counts = (ends - starts).astype(jnp.int32)
     counts = jnp.minimum(raw_counts, capacity)

@@ -221,6 +221,13 @@ def _composite_packed_bwd(
     # geometry + active color columns carry nonzero gradients; each
     # dropped column removes a payload operand from the segment sort.
     d_rows = d_params.transpose(0, 2, 1).reshape(-1, F)[:, :used_cols]
+    # Blocks not owned by any tile (tail margin, budget-dropped regions)
+    # are never written by the backward kernel and hold uninitialized
+    # f32. Binning guarantees their idx slots are the sentinel (rows-1),
+    # whose gradient row is discarded by pack_columns' pad VJP — but
+    # rather than lean on that cross-module invariant, zero every
+    # sentinel-slot row here so garbage can never reach a live gradient.
+    d_rows = jnp.where((idx_flat < rows - 1)[:, None], d_rows, 0.0)
     d_packed = segment_sum_rows(d_rows, idx_flat, rows)
     d_packed = jnp.pad(d_packed, ((0, 0), (0, F - used_cols)))
     return d_packed, None, None, None

@@ -48,6 +48,12 @@ class RenderSettings:
     # with actual pairs instead of tiles x capacity; overflow reports
     # when a scene exceeds it.
     pair_budget: Optional[int] = None
+    # Force the two-word (tile, exact-depth) sort keys that binning
+    # switches to automatically at very large tile counts (test hook).
+    force_wide_keys: bool = False
+    # Compositing backend: auto (Pallas on TPU, XLA scan on CPU),
+    # or force one (the XLA path on TPU is an independent oracle).
+    backend: str = "auto"
 
 
 DEFAULT_SETTINGS = RenderSettings()
@@ -97,6 +103,7 @@ def _render_single(
         big_capacity=settings.big_capacity,
         chunk=settings.chunk,
         pair_budget=settings.pair_budget,
+        force_wide_keys=settings.force_wide_keys,
     )
     if return_overflow:
         image = composite_tiles(
@@ -107,6 +114,7 @@ def _render_single(
             tile_size=settings.tile_size,
             chunk=settings.chunk,
             capacity=settings.capacity,
+            backend=settings.backend,
         )
         return image, tiles.overflow
     return composite_tiles(
@@ -117,6 +125,7 @@ def _render_single(
         tile_size=settings.tile_size,
         chunk=settings.chunk,
         capacity=settings.capacity,
+        backend=settings.backend,
     )
 
 

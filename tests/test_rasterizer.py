@@ -314,3 +314,44 @@ def test_empty_scene_gives_background():
     )
     expected = np.broadcast_to(np.asarray(bg)[0][:, None, None], (3, *IMAGE))
     np.testing.assert_allclose(np.asarray(img[0]), expected, atol=1e-5)
+
+
+def test_wide_key_binning_matches_packed():
+    """The two-word (tile, exact-depth) sort path — used automatically at
+    very large tile counts, where the packed key runs out of depth bits —
+    must produce the same render as the packed single-key path."""
+    means, covs, colors, opac = make_scene(3)
+    extr = np.eye(4, dtype=np.float32)
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    args = (
+        jnp.asarray(extr)[None],
+        jnp.asarray(K)[None],
+        jnp.ones(1),
+        jnp.full((1,), 100.0),
+        IMAGE,
+        jnp.asarray(bg)[None],
+        jnp.asarray(means)[None],
+        jnp.asarray(covs)[None],
+        jnp.asarray(colors)[None],
+        jnp.asarray(opac)[None],
+    )
+    kw = dict(scale_invariant=False, use_sh=False)
+    packed = render(
+        *args,
+        settings=RenderSettings(capacity=512, big_capacity=64, chunk=64),
+        **kw,
+    )
+    wide = render(
+        *args,
+        settings=RenderSettings(
+            capacity=512, big_capacity=64, chunk=64, force_wide_keys=True
+        ),
+        **kw,
+    )
+    # The wide path keeps MORE depth bits (exact f32 pattern), so lists can
+    # only differ where the packed key quantized ties; on this scene they
+    # must match to compositing accuracy.
+    np.testing.assert_allclose(np.asarray(wide), np.asarray(packed), atol=1e-5)
+
+    expected = numpy_oracle(extr, K, IMAGE, bg, means, covs, colors, opac)
+    np.testing.assert_allclose(np.asarray(wide[0]), expected, atol=2e-3)
