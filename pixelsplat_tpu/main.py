@@ -19,8 +19,8 @@ from .model.decoder import get_decoder
 from .training.checkpoint import latest_checkpoint
 from .training.model_wrapper import ModelWrapper
 from .training.trainer import Trainer
-from .utils.local_logger import LocalLogger
 from .utils.step_tracker import StepTracker
+from .utils.wandb_tools import select_logger
 
 
 def cyan(text: str) -> str:
@@ -51,7 +51,7 @@ def build_everything(cfg: RootCfg):
         cfg.checkpointing,
         output_dir,
         step_tracker=step_tracker,
-        logger=LocalLogger(output_dir / "local"),
+        logger=select_logger(cfg.wandb, output_dir),
         seed=cfg.seed,
     )
     return trainer

@@ -39,3 +39,16 @@ class LocalLogger:
         directory = self.path / key
         directory.mkdir(exist_ok=True, parents=True)
         Image.fromarray(img).save(directory / f"{step or 0:0>6}.png")
+
+    def log_video(
+        self, key: str, frames: np.ndarray, step: Optional[int] = None, fps: int = 30
+    ) -> Path:
+        """frames: (t, 3, h, w) float [0,1]; saved as MP4 (or GIF fallback)."""
+        from .video import save_video
+
+        return save_video(
+            np.asarray(frames), self.path / key / f"{step or 0:0>6}.mp4", fps=fps
+        )
+
+    def log_model(self, checkpoint_path, step: Optional[int] = None) -> None:
+        """No-op locally: the orbax checkpoint already lives on disk."""

@@ -63,10 +63,17 @@ def update_checkpoint_path(path: Optional[Union[str, Path]], wandb_cfg) -> Optio
 
 
 class WandbLogger:
-    """Thin logger that mirrors LocalLogger's interface through wandb."""
+    """Logger that mirrors LocalLogger's interface through wandb.
 
-    def __init__(self, cfg, output_dir: Path):
-        self.local = LocalLogger(output_dir / "local")
+    Counterpart of the reference's WandbLogger setup
+    (/root/reference/src/main.py:56-70: scalars, images, videos and
+    `log_model="all"` checkpoint artifacts). Everything is also written
+    through the wrapped LocalLogger, so a dropped connection or a killed
+    run never loses the local copies.
+    """
+
+    def __init__(self, cfg, output_dir: Path, config_dict: Optional[dict] = None):
+        self.local = LocalLogger(Path(output_dir) / "local")
         self.run = None
         if WANDB_AVAILABLE and getattr(cfg, "mode", "disabled") != "disabled":
             self.run = wandb.init(
@@ -75,7 +82,13 @@ class WandbLogger:
                 name=cfg.name,
                 mode=cfg.mode,
                 tags=list(getattr(cfg, "tags", ()) or ()),
+                dir=str(output_dir),
+                config=config_dict,
             )
+
+    @property
+    def path(self) -> Path:
+        return self.local.path
 
     def log_metrics(self, metrics: dict, step=None) -> None:
         self.local.log_metrics(metrics, step=step)
@@ -85,4 +98,36 @@ class WandbLogger:
     def log_image(self, key: str, image, step=None) -> None:
         self.local.log_image(key, image, step=step)
         if self.run is not None:
-            wandb.log({key: wandb.Image(self.local.path / key / f"{step or 0:0>6}.png")}, step=step)
+            wandb.log(
+                {key: wandb.Image(str(self.local.path / key / f"{step or 0:0>6}.png"))},
+                step=step,
+            )
+
+    def log_video(self, key: str, frames, step=None, fps: int = 30) -> Path:
+        path = self.local.log_video(key, frames, step=step, fps=fps)
+        if self.run is not None:
+            # wandb.Video reads the encoded file; GIF fallback uploads too.
+            wandb.log({key: wandb.Video(str(path), fps=fps)}, step=step)
+        return path
+
+    def log_model(self, checkpoint_path, step=None) -> None:
+        """Upload an orbax checkpoint directory as a model artifact
+        (reference: Lightning's log_model='all')."""
+        if self.run is None:
+            return
+        artifact = wandb.Artifact(f"model-{self.run.id}", type="model")
+        artifact.add_dir(str(checkpoint_path))
+        self.run.log_artifact(artifact, aliases=[f"step-{step}"] if step else None)
+
+    def finish(self) -> None:
+        if self.run is not None:
+            self.run.finish()
+
+
+def select_logger(wandb_cfg, output_dir: Path, config_dict: Optional[dict] = None):
+    """The reference enables wandb whenever cfg.wandb.mode != 'disabled'
+    (/root/reference/src/main.py:55). Here wandb is optional: use it when
+    requested AND importable, else fall back to the LocalLogger."""
+    if WANDB_AVAILABLE and getattr(wandb_cfg, "mode", "disabled") != "disabled":
+        return WandbLogger(wandb_cfg, Path(output_dir), config_dict)
+    return LocalLogger(Path(output_dir) / "local")
