@@ -23,6 +23,10 @@ class LossLpipsCfg:
     name: str = "lpips"
     weight: float = 0.05
     apply_after_step: int = 150_000
+    # Dryrun/test escape hatch: permit architecture-correct random VGG
+    # weights when the exported .npz is absent. NEVER set in a real
+    # training config.
+    allow_random_weights: bool = False
 
 
 class LossLpips:
@@ -34,7 +38,14 @@ class LossLpips:
         # otherwise silently optimize a random-VGG "perceptual" distance
         # from step `apply_after_step` on (reference loads the published
         # VGG-LPIPS weights unconditionally, loss_lpips.py:33-47).
-        self.params, self.pretrained = get_lpips_params(allow_random=False)
+        self.params, self.pretrained = get_lpips_params(
+            allow_random=cfg.allow_random_weights
+        )
+        if not self.pretrained:
+            print(
+                "WARNING: LossLpips running with RANDOM VGG weights "
+                "(allow_random_weights=True); not a parity-capable run."
+            )
 
     def __call__(self, prediction, batch, gaussians, global_step) -> jax.Array:
         image = batch["target"]["image"]  # (b, v, 3, h, w)
