@@ -33,10 +33,17 @@ class BackboneDinoCfg:
     name: Literal["dino"] = "dino"
     model: str = "dino_vitb8"
     d_out: int = 512
-    # Positional-embedding grid of the checkpoint being loaded (224/patch
-    # for the published DINO weights). Non-default values exist for golden
+    # Positional-embedding grid of the checkpoint being loaded. None derives
+    # 224 // patch for the selected model (the published DINO weights' grid:
+    # 28 for patch-8, 14 for patch-16). Explicit values exist for golden
     # tests against torch fixtures whose grid matches the input exactly.
-    pos_grid: int = 28
+    pos_grid: int | None = None
+
+    @property
+    def resolved_pos_grid(self) -> int:
+        if self.pos_grid is not None:
+            return self.pos_grid
+        return 224 // VIT_SPECS[self.model]["patch"]
 
 
 class ViTBlock(nn.Module):
@@ -139,7 +146,7 @@ class BackboneDino(nn.Module):
             dim=spec["dim"],
             depth=spec["depth"],
             heads=spec["heads"],
-            pos_grid=cfg.pos_grid,
+            pos_grid=cfg.resolved_pos_grid,
             dtype=self.dtype,
             name="dino",
         )(images.reshape(b * v, 3, h, w))
