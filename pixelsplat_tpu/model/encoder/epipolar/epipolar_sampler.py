@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ....geometry.epipolar_lines import project_rays
 from ....geometry.projection import get_world_rays, sample_image_grid
-from ....ops.grid_sample import grid_sample_nhwc
+from ....ops.grid_sample import grid_sample_nhwc_flat
 from ....utils.pairings import generate_heterogeneous_index
 
 
@@ -83,8 +83,11 @@ def sample_along_epipolar_lines(
     _, index_other = generate_heterogeneous_index(v)
     source_images = images[:, jnp.asarray(index_other)]  # (b, v, ov, h, w, c)
     coords = 2.0 * xy_sample - 1.0  # (b, v, ov, r, s, 2)
-    sample_fn = jax.vmap(jax.vmap(jax.vmap(grid_sample_nhwc)))
-    features = sample_fn(source_images, coords)  # (b, v, ov, r, s, c)
+    c = images.shape[-1]
+    features = grid_sample_nhwc_flat(
+        source_images.reshape(b * v * (v - 1), h, w, c),
+        coords.reshape(b * v * (v - 1), -1, s, 2),
+    ).reshape(*coords.shape[:-1], c)  # (b, v, ov, r, s, c)
 
     # Zero out rays that don't overlap the other view at all.
     features = features * overlap[..., None]

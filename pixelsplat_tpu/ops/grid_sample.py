@@ -67,7 +67,18 @@ def grid_sample_nhwc(image: jax.Array, coords: jax.Array) -> jax.Array:
 
     out = None
     flat = image.reshape(h * w, c)
-    use_u16 = flat.dtype.itemsize == 4 and jax.default_backend() != "cpu"
+    # The u16 split-half gather only pays off for tables too large for the
+    # gather emitter's fast path AND rows that stay <=1 vreg after the
+    # split. For feature maps (tiny tables: 64x64x128 f32 = 2 MB) the
+    # plain 32-bit row gather is ~7x faster (0.33 vs 2.4 ms per tap at
+    # 262k queries, v5e) — the split's 256-lane u16 rows fall off the
+    # one-vreg-per-row fast path (1.3 -> 9.9 ns/row).
+    use_u16 = (
+        flat.dtype.itemsize == 4
+        and jax.default_backend() != "cpu"
+        and flat.size * flat.dtype.itemsize > 8 * 1024 * 1024
+        and c <= 64
+    )
 
     for dx, dy, wgt in (
         (0, 0, (1 - wx) * (1 - wy)),
@@ -112,6 +123,49 @@ def _tap_u16_bwd(residuals, d_out):
 
 
 _tap_u16.defvjp(_tap_u16_fwd, _tap_u16_bwd)
+
+
+def grid_sample_nhwc_flat(images: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample a stack of images (n, h, w, c) at per-image coords
+    (n, ..., 2) in [-1, 1] (xy order). Returns (n, ..., c).
+
+    Equivalent to vmap(grid_sample_nhwc) but folds the image index into
+    the gather index, so the four taps stay SINGLE-table row gathers of
+    one (n*h*w, c) table. XLA's batched gather falls off the TPU gather
+    emitter's fast path (measured 1.5 ms vs 0.33 ms per 262k-row tap for
+    n=2 64x64x128 feature maps on v5e); the flat form keeps one-vreg
+    f32 rows and no batch dimension.
+    """
+    n, h, w, c = images.shape
+    x = ((coords[..., 0] + 1.0) * w - 1.0) / 2.0
+    y = ((coords[..., 1] + 1.0) * h - 1.0) / 2.0
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    img_base = jnp.arange(n, dtype=jnp.int32) * (h * w)
+    img_base = img_base.reshape((n,) + (1,) * (coords.ndim - 2))
+
+    out = None
+    flat = images.reshape(n * h * w, c)
+    for dx, dy, wgt in (
+        (0, 0, (1 - wx) * (1 - wy)),
+        (1, 0, wx * (1 - wy)),
+        (0, 1, (1 - wx) * wy),
+        (1, 1, wx * wy),
+    ):
+        xi = x0 + dx
+        yi = y0 + dy
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        idx = img_base + yi_c * w + xi_c
+        tap = flat[idx]  # (n, ..., c)
+        term = tap * (wgt * inside)[..., None]
+        out = term if out is None else out + term
+    return out
 
 
 def grid_sample_batched(images: jax.Array, coords: jax.Array) -> jax.Array:
