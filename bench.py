@@ -1,11 +1,19 @@
-"""Headline benchmark: 256x256 rendered frames/sec/chip on the TPU.
+"""Headline benchmark: re10k evaluation scenes/sec/chip on the TPU.
 
-Workload matches the reference's evaluation setting (BASELINE.md): render
-256x256 novel views from 393,216 Gaussians (2 context views x 256x256
-pixels x 3 gaussians/pixel, degree-4 SH), i.e. the decoder/rasterizer path
-that the CUDA `diff-gaussian-rasterization` extension implements in the
-reference. The A100 baseline for this workload (tile-based CUDA rasterizer
-at ~400k gaussians, 256x256) is ~250 frames/sec.
+Workload is the reference's own headline performance measurement — its
+Benchmarker (/root/reference/src/model/model_wrapper.py:163-199) times
+`encoder` once per scene and `decoder` once per rendered view on the
+evaluation protocol, and the paper table averages them
+(src/paper/generate_benchmark_table.py:29-49). One scene here is:
+
+  encode 2 context views at 256x256 through the PRODUCTION re10k encoder
+  (DINO ViT-B/8 + dino_resnet50, d_feature=128, gaussians_per_pixel=3
+  -> 393,216 Gaussians, degree-4 SH), then render 3 novel 256x256 target
+  views with the production decoder/rasterizer.
+
+The A100 baseline (15 scenes/sec) is the first-principles roofline of the
+reference torch/CUDA implementation derived in BASELINE.md ("Grounded A100
+baseline"); weights are random because only throughput is measured.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -16,6 +24,11 @@ import json
 import os
 import sys
 import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_HERE, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 
 # The axon TPU tunnel admits one client; a lingering claim from a previous
 # process makes backend init fail. Re-exec to retry with a fresh process.
@@ -39,65 +52,73 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_BASELINE_FPS = 250.0
+# Reference implementation on one A100 (torch f32 eager + CUDA rasterizer):
+# ~66 ms/scene from the BASELINE.md roofline, rounded in the A100's favor.
+A100_BASELINE_SCENES_PER_S = 15.0
 
 
 def main() -> None:
-    from pixelsplat_tpu.ops.rasterizer import RenderSettings, render
+    from pixelsplat_tpu.config import load_config
+    from pixelsplat_tpu.model.decoder import get_decoder
+    from pixelsplat_tpu.model.encoder import get_encoder
 
-    g = 2 * 256 * 256 * 3
-    rng = np.random.default_rng(0)
-    means = np.stack(
-        [
-            rng.uniform(-2, 2, g),
-            rng.uniform(-2, 2, g),
-            rng.uniform(1.2, 12, g),
-        ],
-        axis=-1,
-    ).astype(np.float32)
-    axes = rng.normal(size=(g, 3, 3)).astype(np.float32) * 0.01
-    covs = axes @ axes.transpose(0, 2, 1) + 1e-6 * np.eye(3, dtype=np.float32)
-    sh = (rng.normal(size=(g, 3, 25)) * 0.1).astype(np.float32)
-    opac = rng.uniform(0.05, 0.6, g).astype(np.float32)
+    cfg = load_config(["+experiment=re10k"])
+    encoder, _ = get_encoder(cfg.model.encoder)
+    decoder = get_decoder(cfg.model.decoder)
 
-    intr = jnp.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])
-    settings = RenderSettings(capacity=4096, big_capacity=128, chunk=128)
-    args = (
-        jnp.eye(4)[None],
-        intr[None],
-        jnp.ones(1),
-        jnp.full((1,), 100.0),
-        jnp.zeros((1, 3)),
-        jnp.asarray(means)[None],
-        jnp.asarray(covs)[None],
-        jnp.asarray(sh)[None],
-        jnp.asarray(opac)[None],
+    b, v, h, w = 1, 2, 256, 256
+    key = jax.random.PRNGKey(0)
+    context = {
+        "image": jax.random.uniform(key, (b, v, 3, h, w)),
+        "extrinsics": jnp.broadcast_to(jnp.eye(4), (b, v, 4, 4))
+        .at[:, 1, 0, 3]
+        .set(0.8),
+        "intrinsics": jnp.broadcast_to(
+            jnp.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]]), (b, v, 3, 3)
+        ),
+        "near": jnp.ones((b, v)),
+        "far": jnp.full((b, v), 100.0),
+    }
+    # 3 target views per scene: the re10k evaluation-index protocol.
+    tv = 3
+    shifts = jnp.linspace(-0.3, 0.3, tv)
+    t_extr = jnp.broadcast_to(jnp.eye(4), (b, tv, 4, 4)).at[:, :, 0, 3].set(
+        shifts[None]
     )
+    t_intr = jnp.broadcast_to(context["intrinsics"][:, :1], (b, tv, 3, 3))
+    t_near = jnp.ones((b, tv))
+    t_far = jnp.full((b, tv), 100.0)
 
-    # Render k distinct frames per dispatch (different cameras) so the
-    # host-side dispatch cost of the axon tunnel (~ms per jitted call)
-    # amortizes; the metric remains k genuine full renders per call.
-    k_inner = 5
-    n_dispatch = 4
+    params = jax.jit(
+        lambda r, c: encoder.init(r, c, jnp.asarray(0), True)
+    )({"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)}, context)
+
+    # k distinct scenes per dispatch (context images shifted) so the axon
+    # tunnel's per-call host dispatch cost amortizes; each iteration is a
+    # genuine full encode + 3 renders.
+    k_inner = 2
+    n_dispatch = 3
     n = k_inner * n_dispatch
-    cam_shifts = jnp.linspace(-0.2, 0.2, k_inner)
 
     @jax.jit
-    def burst(e, k, nr, f, bg, m, c, s, o):
-        def one(shift):
-            e2 = e.at[:, 0, 3].add(shift)
-            img = render(e2, k, nr, f, (256, 256), bg, m, c, s, o, settings=settings)
-            return img[0, 0, 0, 0]
+    def scenes(params, context, seed):
+        def one(i, acc):
+            ctx = dict(context)
+            ctx["image"] = jnp.clip(
+                context["image"] + (seed + i).astype(jnp.float32) * 1e-4, 0, 1
+            )
+            g = encoder.apply(params, ctx, jnp.asarray(0), True)
+            out = decoder(g, t_extr, t_intr, t_near, t_far, (h, w))
+            return acc + out.color[0, :, 0, 0, 0].sum()
 
-        return jax.lax.map(one, cam_shifts).sum()
+        return jax.lax.fori_loop(0, k_inner, one, jnp.float32(0))
 
-    # Warm up / compile, then time async dispatches with a single host
-    # sync at the end (the axon tunnel makes block_until_ready a no-op;
-    # np.asarray is the only real sync). Device queues are FIFO, so waiting
-    # on the last result bounds all executions.
-    np.asarray(burst(*args))
+    # Warm up / compile, then time async dispatches with one host sync
+    # (the axon tunnel makes block_until_ready a no-op; np.asarray is the
+    # only real sync; device queues are FIFO).
+    np.asarray(scenes(params, context, jnp.int32(0)))
     t0 = time.perf_counter()
-    results = [burst(*args) for _ in range(n_dispatch)]
+    results = [scenes(params, context, jnp.int32(i + 1)) for i in range(n_dispatch)]
     np.asarray(results[-1])
     dt = time.perf_counter() - t0
 
@@ -106,20 +127,20 @@ def main() -> None:
     def floor_fn(x):
         return x[0, 0, 0]
 
-    np.asarray(floor_fn(args[5]))
+    np.asarray(floor_fn(context["image"]))
     t0 = time.perf_counter()
-    np.asarray(floor_fn(args[5]))
+    np.asarray(floor_fn(context["image"]))
     floor = time.perf_counter() - t0
 
-    per_frame = max(dt - floor, 1e-9) / n
-    fps = 1.0 / per_frame
+    per_scene = max(dt - floor, 1e-9) / n
+    sps = 1.0 / per_scene
     print(
         json.dumps(
             {
-                "metric": "render_256x256_393k_gaussians",
-                "value": round(fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+                "metric": "re10k_eval_scene_encode_plus_3view_render_256",
+                "value": round(sps, 2),
+                "unit": "scenes/sec/chip",
+                "vs_baseline": round(sps / A100_BASELINE_SCENES_PER_S, 4),
             }
         )
     )
