@@ -6,6 +6,7 @@ from .render import (
     RenderSettings,
     render,
     render_depth,
+    orthographic_frustum,
     render_orthographic,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "RenderSettings",
     "render",
     "render_depth",
+    "orthographic_frustum",
     "render_orthographic",
 ]

@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .projection import ProjectedGaussians
+from .projection import MIN_ALPHA, ProjectedGaussians
 
 
 class TileLists(NamedTuple):
@@ -106,6 +106,76 @@ def bin_gaussians(
     radius_x, radius_y = projected.radius_x, projected.radius_y
     valid = projected.valid
 
+    # Precise ellipse-vs-tile test. The per-axis AABB (radius_x/y) covers
+    # every pixel that can reach MIN_ALPHA, but a tilted ellipse overlaps
+    # far fewer tiles than its AABB; a pair whose tile never reaches
+    # alpha >= MIN_ALPHA is zeroed by every compositor (forward
+    # pallas_composite.py:231 / composite.py:137, backward
+    # pallas_backward.py:143), so culling it here is render- and
+    # gradient-neutral up to f32 rounding at the alpha cutoff (a pair
+    # whose peak alpha sits within ulps of 1/255 may round across the
+    # threshold differently here than in the compositor's exp; the
+    # error-scaled margin below biases every such case toward keeping
+    # the pair, and any residual disagreement is bounded by one
+    # sub-quantization alpha contribution of < 1/255). It shrinks the
+    # per-tile lists the gather, compositing, and backward all iterate.
+    # The CUDA reference bins the full (circular-radius) AABB
+    # (diff-gaussian-rasterization preprocess); this is strictly tighter.
+    #
+    # min over the tile rect of q(p) = a dx^2 + 2 b dx dy + c dy^2 is at
+    # the mean (if inside) or on one of the 4 edges; each edge's 1-D
+    # minimizer is clamped to the edge segment (exact for an SPD conic).
+    conic_a = jnp.maximum(projected.conic_a, 1e-12)
+    conic_c = jnp.maximum(projected.conic_c, 1e-12)
+    conic_b = projected.conic_b
+    # alpha = op * exp(-q/2) >= MIN_ALPHA iff q <= t_cut (projection.py:154).
+    t_cut = 2.0 * jnp.log(
+        jnp.maximum(projected.opacity, MIN_ALPHA) / MIN_ALPHA
+    )
+
+    def tile_reaches_alpha(tx, ty, gid=None):
+        """Whether alpha can reach MIN_ALPHA anywhere on tile (tx, ty).
+
+        With `gid`, the Gaussian quantities are gathered at those indices
+        (the big-Gaussian path evaluates a (num_tiles, big) grid).
+        """
+        if gid is None:
+            mx, my, ca, cb, cc, t = mean_x, mean_y, conic_a, conic_b, conic_c, t_cut
+        else:
+            mx, my, ca, cb, cc, t = (
+                jnp.take(v, gid, fill_value=0.0)
+                for v in (mean_x, mean_y, conic_a, conic_b, conic_c, t_cut)
+            )
+        dx0 = tx.astype(jnp.float32) * tile_size - mx
+        dx1 = dx0 + (tile_size - 1)
+        dy0 = ty.astype(jnp.float32) * tile_size - my
+        dy1 = dy0 + (tile_size - 1)
+        inside = (dx0 <= 0) & (0 <= dx1) & (dy0 <= 0) & (0 <= dy1)
+
+        def q_at(dx, dy):
+            # q with cancellation headroom: for extreme anisotropy the
+            # three terms are individually huge and nearly cancel, so f32
+            # q carries absolute error ~ eps * (sum of term magnitudes).
+            # That sum is <= 2 * (a dx^2 + c dy^2) since 2|b dx dy| <=
+            # a dx^2 + c dy^2 for an SPD conic; lower q by a generous
+            # multiple of it so rounding can only KEEP a borderline pair,
+            # never cull one the compositor's own f32 exp would admit.
+            q = (ca * dx + 2.0 * cb * dy) * dx + cc * dy * dy
+            mag = ca * dx * dx + cc * dy * dy
+            return q - (32.0 * jnp.finfo(jnp.float32).eps) * mag
+
+        def q_edge_x(dx):
+            return q_at(dx, jnp.clip(-cb * dx / cc, dy0, dy1))
+
+        def q_edge_y(dy):
+            return q_at(jnp.clip(-cb * dy / ca, dx0, dx1), dy)
+
+        q_min = jnp.minimum(
+            jnp.minimum(q_edge_x(dx0), q_edge_x(dx1)),
+            jnp.minimum(q_edge_y(dy0), q_edge_y(dy1)),
+        )
+        return inside | (q_min <= t)
+
     # 2. Tile bbox per Gaussian (original order), from the opacity-aware
     # per-axis extents (see ProjectedGaussians.radius_x).
     x0 = jnp.clip(jnp.floor((mean_x - radius_x) / tile_size), 0, tiles_x - 1)
@@ -144,7 +214,9 @@ def bin_gaussians(
         dx, dy = slot % span, slot // span
         tx = x0 + dx
         ty = y0 + dy
-        slot_ok = small & (dx < span_x) & (dy < span_y)
+        slot_ok = (
+            small & (dx < span_x) & (dy < span_y) & tile_reaches_alpha(tx, ty)
+        )
         tile_id = (ty * tiles_x + tx).astype(key_dtype)
         if wide_keys:
             tile_keys.append(jnp.where(slot_ok, tile_id, sentinel_tile))
@@ -180,10 +252,26 @@ def bin_gaussians(
         overflow = overflow + jnp.maximum(big.sum() - big_capacity, 0)
 
         all_tiles = jnp.arange(num_tiles, dtype=key_dtype)
+        # Each big Gaussian joins the global sort once per tile for
+        # static shape, but only tiles inside its bbox that pass the
+        # precise ellipse test get real keys — a big Gaussian's bbox is
+        # typically a small fraction of the image, so this trims most of
+        # the num_tiles x big_capacity candidate block.
+        big_tx = (all_tiles % tiles_x)[:, None]
+        big_ty = (all_tiles // tiles_x)[:, None]
+        in_bbox = (
+            (big_tx >= jnp.take(x0, big_gids, fill_value=1)[None, :])
+            & (big_tx <= jnp.take(x1, big_gids, fill_value=-1)[None, :])
+            & (big_ty >= jnp.take(y0, big_gids, fill_value=1)[None, :])
+            & (big_ty <= jnp.take(y1, big_gids, fill_value=-1)[None, :])
+        )
+        big_ok = (
+            big_valid[None, :]
+            & in_bbox
+            & tile_reaches_alpha(big_tx, big_ty, gid=big_gids[None, :])
+        )
         if wide_keys:
-            big_tiles = jnp.where(
-                big_valid[None, :], all_tiles[:, None], sentinel_tile
-            )
+            big_tiles = jnp.where(big_ok, all_tiles[:, None], sentinel_tile)
             tile_keys = jnp.concatenate([tile_keys, big_tiles.reshape(-1)])
             big_keys = jnp.broadcast_to(
                 big_dqs.astype(key_dtype)[None, :], (num_tiles, big_capacity)
@@ -191,7 +279,7 @@ def bin_gaussians(
             keys = jnp.concatenate([keys, big_keys.reshape(-1)])
         else:
             big_keys = jnp.where(
-                big_valid[None, :],
+                big_ok,
                 all_tiles[:, None] * tile_shift
                 + big_dqs.astype(key_dtype)[None, :],
                 sentinel_tile * tile_shift,

@@ -263,24 +263,20 @@ def render_depth(
     return result[:, 0]  # (b, h, w)
 
 
-def render_orthographic(
+def orthographic_frustum(
     extrinsics: jax.Array,  # (b, 4, 4)
     width: jax.Array,  # (b,)
     height: jax.Array,  # (b,)
     near: jax.Array,  # (b,)
     far: jax.Array,  # (b,)
-    image_shape: tuple[int, int],
-    background_color: jax.Array,
-    gaussian_means: jax.Array,
-    gaussian_covariances: jax.Array,
-    gaussian_sh_coefficients: jax.Array,
-    gaussian_opacities: jax.Array,
     fov_degrees: float = 0.1,
-    use_sh: bool = True,
-    settings: RenderSettings = DEFAULT_SETTINGS,
-) -> jax.Array:
-    """Fake orthographic render: tiny fov + camera push-back (reference
-    render_cuda_orthographic, cuda_splatting.py:130-220)."""
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The narrow perspective frustum that emulates an orthographic camera.
+
+    Returns (extrinsics, intrinsics, near, far) — the values the reference
+    exposes through its `dump` dict (cuda_splatting.py:150-170) so figure
+    scripts can project overlays into the orthographic render.
+    """
     fov_x = jnp.deg2rad(jnp.asarray(fov_degrees, extrinsics.dtype))
     tan_fov_x = jnp.tan(0.5 * fov_x)
     distance_to_near = (0.5 * width) / tan_fov_x
@@ -301,6 +297,30 @@ def render_orthographic(
     intrinsics = intrinsics.at[:, 0, 2].set(0.5)
     intrinsics = intrinsics.at[:, 1, 2].set(0.5)
     intrinsics = intrinsics.at[:, 2, 2].set(1.0)
+    return extrinsics, intrinsics, near, far
+
+
+def render_orthographic(
+    extrinsics: jax.Array,  # (b, 4, 4)
+    width: jax.Array,  # (b,)
+    height: jax.Array,  # (b,)
+    near: jax.Array,  # (b,)
+    far: jax.Array,  # (b,)
+    image_shape: tuple[int, int],
+    background_color: jax.Array,
+    gaussian_means: jax.Array,
+    gaussian_covariances: jax.Array,
+    gaussian_sh_coefficients: jax.Array,
+    gaussian_opacities: jax.Array,
+    fov_degrees: float = 0.1,
+    use_sh: bool = True,
+    settings: RenderSettings = DEFAULT_SETTINGS,
+) -> jax.Array:
+    """Fake orthographic render: tiny fov + camera push-back (reference
+    render_cuda_orthographic, cuda_splatting.py:130-220)."""
+    extrinsics, intrinsics, near, far = orthographic_frustum(
+        extrinsics, width, height, near, far, fov_degrees
+    )
 
     return render(
         extrinsics,
