@@ -157,6 +157,26 @@ def compose_config(
                 continue
         pruned_defaults.append(entry)
     defaults = pruned_defaults
+
+    # Hydra also accepts group selections for TOP-LEVEL groups without a
+    # slash in the key (e.g. `loss=[mse]`, `dataset=acid`): reclassify
+    # undotted value overrides whose key names a defaults-list group.
+    top_groups = set()
+    for entry in defaults:
+        if isinstance(entry, dict):
+            ((group, _),) = entry.items()
+            if isinstance(group, str):
+                if group.startswith("optional "):
+                    group = group[len("optional ") :].strip()
+                top_groups.add(group)
+    remaining: list[tuple[str, Any]] = []
+    for key, value in value_overrides:
+        if key in top_groups and "." not in key:
+            selections[key] = value
+        else:
+            remaining.append((key, value))
+    value_overrides = remaining
+
     selections = {**own_overrides, **selections}
 
     choices: dict[str, Any] = {}

@@ -53,6 +53,12 @@ class DepthPredictorMonocular(nn.Module):
         offset_raw = x[..., 1].swapaxes(-1, -2)
         pdf = jax.nn.softmax(pdf_raw, axis=-1)
         offset = jax.nn.sigmoid(offset_raw)
+        # Figure tooling reads the full distribution (reference grabs it
+        # with forward hooks on to_pdf/to_offset,
+        # src/paper/generate_sampling_figure.py:100-110); free unless
+        # apply() requests the `intermediates` collection.
+        self.sow("intermediates", "pdf", pdf)
+        self.sow("intermediates", "offset", offset)
 
         if deterministic:
             index, pdf_i = gather_discrete_topk(pdf, gaussians_per_pixel)
