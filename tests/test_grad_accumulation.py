@@ -153,9 +153,11 @@ def test_accumulated_step_matches_manual_average():
     ):
         # scan-accumulated vs python-loop summation order differs by
         # ~1 ulp in the gradients; Adam's 1/(sqrt(v)+eps) amplifies that
-        # for near-zero second moments, hence the loose-ish tolerance.
+        # for near-zero second moments, hence the loose-ish tolerance
+        # (observed worst case: 1/36864 elements at |diff| ~3e-4 with a
+        # step size of ~1e-2).
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4
         )
 
 
