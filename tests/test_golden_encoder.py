@@ -280,3 +280,211 @@ def test_encoder_golden_parity(backbone_kind, tmp_path):
     # >1e-2).
     for field, e in errs.items():
         assert e < 5e-4, (field, errs)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-level parity (VJP through the whole encoder)
+# ---------------------------------------------------------------------------
+
+# Fixed inverse-CDF quantiles for matched stochastic sampling: both sides
+# replace their RNG draw with these constants, so the gpp=3 stochastic
+# bucket picks (and therefore the gathers the backward scatters through)
+# are identical. Values avoid the uniform-pdf cdf crossings (k/8).
+_U_FIXED = (0.2024, 0.5317, 0.8441)
+
+
+def _patch_torch_sampler():
+    import src.misc.discrete_probability_distribution as dpd
+    import src.model.encoder.epipolar.distribution_sampler as ds
+
+    def fixed_sample(pdf, num_samples, eps=torch.finfo(torch.float32).eps):
+        *batch, bucket = pdf.shape
+        normalized = pdf / (eps + pdf.sum(dim=-1, keepdim=True))
+        cdf = normalized.cumsum(dim=-1)
+        u = torch.tensor(_U_FIXED, dtype=pdf.dtype).expand(*batch, num_samples)
+        index = torch.searchsorted(cdf, u.contiguous(), right=True).clip(
+            max=bucket - 1
+        )
+        return index, normalized.gather(dim=-1, index=index)
+
+    originals = (dpd.sample_discrete_distribution, ds.sample_discrete_distribution)
+    dpd.sample_discrete_distribution = fixed_sample
+    ds.sample_discrete_distribution = fixed_sample
+    return originals
+
+
+def _patch_jax_sampler(monkeypatch):
+    import pixelsplat_tpu.model.encoder.epipolar.depth_predictor_monocular as dpm
+    from pixelsplat_tpu.utils.distributions import _EPS, onehot_gather
+
+    def fixed_sample(key, pdf, num_samples):
+        *batch, bucket = pdf.shape
+        normalized = pdf / (_EPS + pdf.sum(axis=-1, keepdims=True))
+        cdf = jnp.cumsum(normalized, axis=-1)
+        u = jnp.broadcast_to(
+            jnp.asarray(_U_FIXED, pdf.dtype), (*batch, num_samples)
+        )
+        index = jnp.sum(
+            (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2
+        )
+        index = jnp.clip(index, 0, bucket - 1)
+        return index, onehot_gather(normalized, index)
+
+    monkeypatch.setattr(dpm, "sample_discrete_distribution", fixed_sample)
+
+
+def _loss_weights(shapes, seed=7):
+    rng = np.random.default_rng(seed)
+    return {
+        k: rng.normal(size=shape).astype(np.float32) for k, shape in shapes.items()
+    }
+
+
+@pytest.mark.parametrize("backbone_kind", ["resnet", "dino"])
+def test_encoder_golden_gradient_parity(backbone_kind, tmp_path, monkeypatch):
+    """torch-autograd vs jax.grad through the full encoder, including the
+    gpp=3 STOCHASTIC depth-sampling path (matched via fixed quantiles).
+
+    Parameter gradients are compared across the entire tree by running the
+    torch .grad tensors through the same layout converters the weight
+    importer uses (conversion is pure permutation/reshape/concat, which
+    commutes with d/dtheta), plus the input-image gradient. Reference
+    backward semantics: /root/reference/src/model/encoder/encoder_epipolar.py:112-213
+    under torch autograd.
+    """
+    _reference()
+    h = w = 32
+    pos_grid = h // 16
+    tcfg = _torch_cfg(backbone_kind, pos_grid)
+
+    from src.model.encoder.encoder_epipolar import EncoderEpipolar as TorchEnc
+
+    torch.manual_seed(0)
+    tenc = TorchEnc(tcfg)
+    tenc.eval()  # same numerics; sampling stays stochastic via the patch
+
+    _patch_torch_sampler()
+    _patch_jax_sampler(monkeypatch)
+
+    image, extr, intr, near, far = _context(h=h, w=w)
+    timg = torch.from_numpy(image).requires_grad_(True)
+    tctx = {
+        "image": timg,
+        "extrinsics": torch.from_numpy(extr),
+        "intrinsics": torch.from_numpy(intr),
+        "near": torch.from_numpy(near),
+        "far": torch.from_numpy(far),
+    }
+    global_step = 5000
+
+    sd32 = {k: v.detach().clone() for k, v in tenc.state_dict().items()}
+    tg = tenc.forward(tctx, global_step, deterministic=False)
+
+    weights = _loss_weights(
+        {
+            "means": tuple(tg.means.shape),
+            "covariances": tuple(tg.covariances.shape),
+            "harmonics": tuple(tg.harmonics.shape),
+            "opacities": tuple(tg.opacities.shape),
+        }
+    )
+    tloss = (
+        (tg.means * torch.from_numpy(weights["means"])).sum()
+        + (tg.covariances * torch.from_numpy(weights["covariances"])).sum()
+        + (tg.harmonics * torch.from_numpy(weights["harmonics"])).sum()
+        + (tg.opacities * torch.from_numpy(weights["opacities"])).sum()
+    )
+    tloss.backward()
+
+    params = dict(tenc.named_parameters())
+    grad_sd = {}
+    for k, v in sd32.items():
+        p = params.get(k)
+        if p is None:
+            # Buffer (e.g. BatchNorm running stats): torch autograd does
+            # not produce a gradient; NaN marks the converted leaf for
+            # exclusion below.
+            grad_sd[k] = torch.full_like(v.float(), np.nan)
+        elif p.grad is None:
+            grad_sd[k] = torch.zeros_like(p)
+        else:
+            grad_sd[k] = p.grad.detach().clone()
+
+    ckpt_path = tmp_path / "golden_grad.ckpt"
+    torch.save(
+        {"state_dict": {f"encoder.{k}": v for k, v in sd32.items()}}, ckpt_path
+    )
+
+    from pixelsplat_tpu.interop.torch_import import (
+        convert_encoder,
+        load_lightning_checkpoint,
+    )
+    from pixelsplat_tpu.model.encoder.encoder_epipolar import EncoderEpipolar
+
+    jcfg = _jax_cfg(backbone_kind, pos_grid)
+    variables = load_lightning_checkpoint(ckpt_path, jcfg)
+    tgrad_tree = convert_encoder(grad_sd, jcfg)
+    jenc = EncoderEpipolar(jcfg)
+
+    jextr, jintr = jnp.asarray(extr), jnp.asarray(intr)
+    jnear, jfar = jnp.asarray(near), jnp.asarray(far)
+
+    def loss_fn(params_tree, img):
+        ctx = {
+            "image": img,
+            "extrinsics": jextr,
+            "intrinsics": jintr,
+            "near": jnear,
+            "far": jfar,
+        }
+        g = jenc.apply(
+            {"params": params_tree["params"]},
+            ctx,
+            jnp.asarray(global_step),
+            deterministic=False,
+            rngs={"sample": jax.random.PRNGKey(0)},  # unused under the patch
+        )
+        return (
+            (g.means * weights["means"]).sum()
+            + (g.covariances * weights["covariances"]).sum()
+            + (g.harmonics * weights["harmonics"]).sum()
+            + (g.opacities * weights["opacities"]).sum()
+        )
+
+    jgrads, jimg_grad = jax.grad(loss_fn, argnums=(0, 1))(
+        variables, jnp.asarray(image)
+    )
+
+    # --- input-image gradient ---
+    t_imgg = timg.grad.detach().numpy()
+    j_imgg = np.asarray(jimg_grad, np.float64)
+    scale = np.abs(t_imgg).max() + 1e-12
+    img_err = np.abs(j_imgg - t_imgg).max() / scale
+    assert img_err < 5e-3, img_err
+
+    # --- full parameter-gradient tree ---
+    flat_t = jax.tree_util.tree_flatten_with_path(tgrad_tree)[0]
+    flat_j = dict(
+        jax.tree_util.tree_flatten_with_path(jgrads["params"])[0]
+    )
+    assert len(flat_t) == len(flat_j)
+    worst = ("", 0.0)
+    for path, tv in flat_t:
+        keystr = jax.tree_util.keystr(path)
+        if "attn" in keystr and "key" in keystr and "bias" in keystr:
+            # A constant shift of every key cancels in the softmax
+            # normalizer, so the key-bias gradient is mathematically
+            # zero; both autograds hold pure f32 round-off there and
+            # comparing noise to noise is meaningless.
+            continue
+        tv = np.asarray(tv, np.float64)
+        if np.isnan(tv).any():
+            continue  # buffer leaf (no torch grad defined)
+        jv = np.asarray(flat_j[path], np.float64)
+        assert jv.shape == tv.shape, (path, jv.shape, tv.shape)
+        scale = max(np.abs(tv).max(), np.abs(jv).max(), 1e-6)
+        e = np.abs(jv - tv).max() / scale
+        if e > worst[1]:
+            worst = (jax.tree_util.keystr(path), e)
+        assert e < 5e-3, (jax.tree_util.keystr(path), e)
+    print("worst param-grad leaf:", worst)

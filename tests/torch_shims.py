@@ -383,21 +383,25 @@ def install_reference(num_context_views: int = 2):
     import jax.numpy as jnp
     import numpy as np
 
-    from pixelsplat_tpu.ops.sh import rotate_sh as jax_rotate_sh
+    from pixelsplat_tpu.ops.sh import full_sh_rotation_matrix
 
     def torch_rotate_sh(sh_coefficients, rotations):
-        sh_np = sh_coefficients.detach().cpu().numpy()
+        # rotate_sh is linear in the coefficients: out = M(R) @ sh. The
+        # only model-path call site rotates by c2w extrinsics
+        # (gaussian_adapter.py:89) — constants under autograd — so M is
+        # built grad-free via numpy and applied as a torch matmul,
+        # keeping the autograd chain through sh_coefficients intact
+        # (the old numpy round-trip detached harmonics entirely, which
+        # broke gradient-parity testing).
         rot_np = rotations.detach().cpu().numpy()
-        # Broadcast batch dims the way the reference call sites expect
-        # ("*#batch n" against "*#batch 3 3").
-        batch = np.broadcast_shapes(sh_np.shape[:-1], rot_np.shape[:-2])
-        sh_b = np.broadcast_to(sh_np, batch + sh_np.shape[-1:])
-        rot_b = np.broadcast_to(rot_np, batch + rot_np.shape[-2:])
-        out = np.asarray(
-            jax_rotate_sh(jnp.asarray(sh_b), jnp.asarray(rot_b)),
-            dtype=sh_np.dtype,
-        )
-        return torch.from_numpy(out).to(sh_coefficients.dtype)
+        n = sh_coefficients.shape[-1]
+        degree = int(round(n**0.5)) - 1
+        m_np = np.asarray(
+            full_sh_rotation_matrix(jnp.asarray(rot_np), degree),
+            dtype=np.float32,
+        )  # (*rot_batch, n, n)
+        m = torch.from_numpy(m_np).to(sh_coefficients.dtype)
+        return (m @ sh_coefficients.unsqueeze(-1)).squeeze(-1)
 
     sh_rotation.rotate_sh = torch_rotate_sh
     return sh_rotation
