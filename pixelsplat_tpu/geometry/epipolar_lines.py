@@ -70,23 +70,29 @@ def _intersect_image_coordinate(
     """
     dim = "xy".index(dimension)
     other_dim = 1 - dim
-    fs = intrinsics[..., dim, dim]
-    fo = intrinsics[..., other_dim, other_dim]
-    cs = intrinsics[..., dim, 2]
-    co = intrinsics[..., other_dim, 2]
-    os_ = origins[..., dim]
-    oo = origins[..., other_dim]
-    ds = directions[..., dim]
-    do = directions[..., other_dim]
-    oz = origins[..., 2]
-    dz = directions[..., 2]
-    c = (coordinate_value - cs) / fs
+    focal_sel = intrinsics[..., dim, dim]
+    focal_other = intrinsics[..., other_dim, other_dim]
+    center_sel = intrinsics[..., dim, 2]
+    center_other = intrinsics[..., other_dim, 2]
+    origin_sel = origins[..., dim]
+    origin_other = origins[..., other_dim]
+    origin_z = origins[..., 2]
+    dir_sel = directions[..., dim]
+    dir_other = directions[..., other_dim]
+    dir_z = directions[..., 2]
+    # The border position expressed on the camera plane (pre-intrinsics):
+    # solving project(o + t d)[dim] == coordinate_value for t.
+    border_cam = (coordinate_value - center_sel) / focal_sel
 
-    t = (c * oz - os_) / (ds - c * dz)
+    t = (border_cam * origin_z - origin_sel) / (dir_sel - border_cam * dir_z)
 
-    coordinate_other = co + (fo * (oo * (c * dz - ds) + do * (os_ - c * oz))) / (
-        dz * os_ - ds * oz
-    )
+    coordinate_other = center_other + (
+        focal_other
+        * (
+            origin_other * (border_cam * dir_z - dir_sel)
+            + dir_other * (origin_sel - border_cam * origin_z)
+        )
+    ) / (dir_z * origin_sel - dir_sel * origin_z)
     coordinate_same = jnp.full_like(coordinate_other, coordinate_value)
     if other_dim == 0:
         xy = jnp.stack([coordinate_other, coordinate_same], axis=-1)
