@@ -182,7 +182,12 @@ def convert_resnet(
 
 
 def convert_dino_vit(sd: Mapping, prefix: str, depth: int, dim: int, heads: int) -> dict:
-    """facebookresearch/dino VisionTransformer -> DinoViT params."""
+    """facebookresearch/dino VisionTransformer -> DinoViT params.
+
+    The Flax DinoViT scans over its identical blocks, so the per-block
+    torch tensors stack along a leading depth axis under one "blocks"
+    subtree (the nn.scan parameter layout).
+    """
     out: dict = {
         "patch_embed": convert_conv(sd, f"{prefix}.patch_embed.proj"),
         "cls_token": _np(sd[f"{prefix}.cls_token"]),
@@ -190,6 +195,7 @@ def convert_dino_vit(sd: Mapping, prefix: str, depth: int, dim: int, heads: int)
         "norm": convert_layernorm(sd, f"{prefix}.norm"),
     }
     head_dim = dim // heads
+    blocks = []
     for i in range(depth):
         bp = f"{prefix}.blocks.{i}"
         qkv_w = _np(sd[f"{bp}.attn.qkv.weight"])  # (3*dim, dim)
@@ -204,7 +210,7 @@ def convert_dino_vit(sd: Mapping, prefix: str, depth: int, dim: int, heads: int)
         def split_b(vec, k):
             return vec[k * dim : (k + 1) * dim].reshape(heads, head_dim)
 
-        out[f"block{i}"] = {
+        blocks.append({
             "norm1": convert_layernorm(sd, f"{bp}.norm1"),
             "attn": {
                 "query": {"kernel": split(qkv_w, 0), "bias": split_b(qkv_b, 0)},
@@ -218,8 +224,17 @@ def convert_dino_vit(sd: Mapping, prefix: str, depth: int, dim: int, heads: int)
             "norm2": convert_layernorm(sd, f"{bp}.norm2"),
             "mlp_fc1": convert_linear(sd, f"{bp}.mlp.fc1"),
             "mlp_fc2": convert_linear(sd, f"{bp}.mlp.fc2"),
-        }
+        })
+    out["blocks"] = _stack_trees(blocks)
     return out
+
+
+def _stack_trees(trees: list) -> dict:
+    """Stack identical-structure nested dicts of arrays along axis 0."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: _stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack(trees)
 
 
 # ---------------------------------------------------------------------------

@@ -117,8 +117,20 @@ class DinoViT(nn.Module):
         cls = jnp.broadcast_to(cls_token + cls_pos, (n, 1, self.dim))
         x = jnp.concatenate([cls, x], axis=1)
 
-        for i in range(self.depth):
-            x = ViTBlock(self.dim, self.heads, dtype=self.dtype, name=f"block{i}")(x)
+        # Scan over the identical pre-norm blocks instead of unrolling:
+        # parameters stack along a leading depth axis and XLA compiles ONE
+        # block body (fwd and bwd) instead of `depth` copies — an order of
+        # magnitude less HLO for ViT-B/12 with identical math. This is the
+        # idiomatic JAX/TPU layout for repeated layers.
+        def _block_step(block: ViTBlock, carry, _):
+            return block(carry), None
+
+        x, _ = nn.scan(
+            _block_step,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+        )(ViTBlock(self.dim, self.heads, dtype=self.dtype, name="blocks"), x, None)
         return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 

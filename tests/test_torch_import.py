@@ -320,9 +320,9 @@ def test_dino_vit_block_conversion():
     sd["vit.norm.bias"] = torch.zeros(dim)
 
     params = convert_dino_vit(sd, "vit", depth=1, dim=dim, heads=heads)
-    got = ViTBlock(dim, heads).apply(
-        {"params": params["block0"]}, jnp.asarray(to_np(x))
-    )
+    # Blocks stack along a leading depth axis (the nn.scan layout).
+    block0 = jax.tree.map(lambda a: a[0], params["blocks"])
+    got = ViTBlock(dim, heads).apply({"params": block0}, jnp.asarray(to_np(x)))
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3, atol=1e-3)
 
 
