@@ -256,13 +256,21 @@ class ModelWrapper:
 
     # ------------------------------------------------------------------
     def make_eval_render(self):
-        """Jitted deterministic encode + render for val/test."""
+        """Jitted test-protocol encode + render.
+
+        The reference's test protocol runs the PROBABILISTIC encoder
+        (deterministic=False -> gaussians_per_pixel=3; reference
+        model_wrapper.py:163-168) — the published PSNR/SSIM/LPIPS numbers
+        come from this path, so eval here must match it exactly.
+        """
 
         @jax.jit
-        def render_fn(params, batch, step):
+        def render_fn(params, batch, step, rng):
             batch = self.data_shim(batch)
             _, _, _, h, w = batch["target"]["image"].shape
-            gaussians = self.encoder.apply(params, batch["context"], step, True)
+            gaussians = self.encoder.apply(
+                params, batch["context"], step, False, rngs={"sample": rng}
+            )
             output = self.decoder(
                 gaussians,
                 batch["target"]["extrinsics"],
@@ -274,6 +282,19 @@ class ModelWrapper:
             return output.color, output.overflow
 
         return render_fn
+
+    def make_eval_decode(self):
+        """Jitted render of already-encoded Gaussians (the reference times
+        encoder and decoder separately: model_wrapper.py:163-181)."""
+
+        @partial(jax.jit, static_argnums=(5,))
+        def decode_fn(gaussians, extrinsics, intrinsics, near, far, image_shape):
+            output = self.decoder(
+                gaussians, extrinsics, intrinsics, near, far, image_shape
+            )
+            return output.color, output.overflow
+
+        return decode_fn
 
     def make_eval_encode(self):
         @partial(jax.jit, static_argnums=(2,))

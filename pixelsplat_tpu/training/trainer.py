@@ -3,8 +3,9 @@
 Counterpart of Lightning's Trainer usage in /root/reference/src/main.py:
 fit() runs the jitted data-parallel train step over the train stream with
 periodic validation, checkpointing and logging; test() runs the evaluation
-protocol (deterministic encoder, per-scene renders saved as PNGs,
-encoder/decoder timing via the Benchmarker, 32-view decode chunking).
+protocol (probabilistic encoder — the reference's test protocol — per-scene
+renders saved as PNGs, encoder/decoder timing via the Benchmarker, 32-view
+decode chunking).
 """
 
 from __future__ import annotations
@@ -317,10 +318,15 @@ class Trainer:
         state_or_params,
         chunk_size: int = 32,
     ) -> dict:
-        """Evaluation protocol: deterministic encoder, render all target
-        views (chunked), save PNGs per scene, dump benchmarks."""
+        """Evaluation protocol (reference model_wrapper.py:154-199):
+        PROBABILISTIC encoder (deterministic=False -> gaussians_per_pixel=3,
+        exactly as the reference's test_step encodes), render all target
+        views (chunked), save PNGs per scene, dump benchmarks with the
+        reference's encoder/decoder timing split."""
         params = getattr(state_or_params, "params", state_or_params)
-        render_fn = self.wrapper.make_eval_render()
+        encode_fn = self.wrapper.make_eval_encode()
+        decode_fn = self.wrapper.make_eval_decode()
+        eval_key = jax.random.PRNGKey(self.seed + 31)
         out_dir = Path(self.wrapper.test_cfg.output_path)
         name = "pixelsplat_tpu"
 
@@ -344,22 +350,30 @@ class Trainer:
             b, v = arrays["target"]["image"].shape[:2]
             assert b == 1
 
+            _, _, _, h, w = arrays["target"]["image"].shape
+            eval_key, scene_key = jax.random.split(eval_key)
+            with self.benchmarker.time("encoder"):
+                gaussians = encode_fn(
+                    params, arrays, False, jnp.asarray(0), scene_key
+                )
+                self.benchmarker.sync(gaussians.means)
+
             colors = []
-            for lo in range(0, v, chunk_size):
-                hi = min(lo + chunk_size, v)
-                sub = {
-                    "context": arrays["context"],
-                    "target": jax.tree.map(
-                        lambda x: x[:, lo:hi],
-                        arrays["target"],
-                        is_leaf=lambda x: not isinstance(x, dict),
-                    ),
-                }
-                with self.benchmarker.time("render", num_calls=hi - lo):
-                    color, chunk_overflow = render_fn(params, sub, jnp.asarray(0))
+            with self.benchmarker.time("decoder", num_calls=v):
+                for lo in range(0, v, chunk_size):
+                    hi = min(lo + chunk_size, v)
+                    tgt = arrays["target"]
+                    color, chunk_overflow = decode_fn(
+                        gaussians,
+                        tgt["extrinsics"][:, lo:hi],
+                        tgt["intrinsics"][:, lo:hi],
+                        tgt["near"][:, lo:hi],
+                        tgt["far"][:, lo:hi],
+                        (h, w),
+                    )
                     self.benchmarker.sync(color)
-                colors.append(np.asarray(color))
-                overflow_total += int(np.asarray(chunk_overflow))
+                    colors.append(np.asarray(color))
+                    overflow_total += int(np.asarray(chunk_overflow))
             color = np.concatenate(colors, axis=1)[0]  # (v, 3, h, w)
 
             gt = np.asarray(arrays["target"]["image"][0])

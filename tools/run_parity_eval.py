@@ -2,10 +2,12 @@
 
 Given the reference's published Lightning checkpoint (or an orbax directory
 produced by tools/import_checkpoint.py), a dataset root, and an evaluation
-index, this runs the full test protocol (deterministic encoder, chunked
-rendering of every target view, PSNR/SSIM/LPIPS, PNG dumps, benchmark
-JSONs) and prints the metric table next to the published numbers with the
-BASELINE.md acceptance gate (PSNR within ±0.05 dB).
+index, this runs the full test protocol (PROBABILISTIC encoder with
+gaussians_per_pixel=3, exactly as the reference's test_step encodes —
+/root/reference/src/model/model_wrapper.py:163-168 — chunked rendering of
+every target view, PSNR/SSIM/LPIPS, PNG dumps, benchmark JSONs) and prints
+the metric table next to the published numbers with the BASELINE.md
+acceptance gate (PSNR within ±0.05 dB).
 
 This is the runbook for the acceptance gate the build environment cannot
 execute (no published ckpt / dataset / egress here); with the artifacts in
