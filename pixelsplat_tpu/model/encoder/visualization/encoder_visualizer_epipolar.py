@@ -78,6 +78,11 @@ class EncoderVisualizerEpipolar:
                 out["attention"] = self._visualize_attention(
                     context, sampling, attention
                 )
+            pdf = self._collect_pdf(state)
+            if pdf is not None:
+                out["probabilities"] = self._visualize_probabilities(
+                    context, sampling, pdf
+                )
         if "depth" in dump:
             out["depth"] = self._visualize_depth(context, dump["depth"])
         out["gaussians"] = self._visualize_gaussians(context, gaussians)
@@ -321,6 +326,74 @@ class EncoderVisualizerEpipolar:
         )
         vis = add_label(add_border(hcat(*layers)), "Keys & Values")
         return add_border(hcat(add_label(np.asarray(ray_view), "Rays"), vis))
+
+    def _visualize_probabilities(
+        self, context: dict, sampling, pdf: np.ndarray
+    ) -> np.ndarray:
+        """Reference figure: depth-bucket pdf drawn as per-ray colored
+        epipolar segments, raw and per-ray-magnified
+        (encoder_visualizer_epipolar.py:302-373 — defined there but left
+        unwired; wired into visualize() here)."""
+        images = np.asarray(context["image"][0])  # (v, 3, h, w)
+        v, _, h, w = images.shape
+        _, index_other = generate_heterogeneous_index(v)
+        rv, rov = 0, 0
+        picks = self._pick_rays(sampling.xy_sample.shape[3])
+        colors = np.asarray(
+            [get_distinct_color(i) for i in range(len(picks))], np.float32
+        )
+
+        xy_ray = np.asarray(sampling.xy_ray[0, rv, picks])  # (k, 2)
+        ray_view = self._ray_view(images[rv], xy_ray, w, h)
+
+        # pdf: (b, v, full-res rays, srf, buckets); the epipolar sampling
+        # grid is downscaled, so read each coarse ray's pdf at its nearest
+        # full-resolution pixel (surface 0, as in the reference).
+        p_full = np.asarray(pdf[0, rv, :, 0, :], np.float32).reshape(h, w, -1)
+        ix = np.clip((xy_ray[:, 0] * w).astype(int), 0, w - 1)
+        iy = np.clip((xy_ray[:, 1] * h).astype(int), 0, h - 1)
+        p = p_full[iy, ix]  # (k, buckets)
+
+        # Depth buckets and epipolar samples are both evenly spaced in
+        # relative disparity; resample if the counts differ.
+        s = sampling.xy_sample.shape[4]
+        if p.shape[-1] != s:
+            grid_b = (np.arange(p.shape[-1]) + 0.5) / p.shape[-1]
+            grid_s = (np.arange(s) + 0.5) / s
+            p = np.stack([np.interp(grid_s, grid_b, row) for row in p])
+
+        near = np.asarray(sampling.xy_sample_near[0, rv, rov, picks]).reshape(-1, 2)
+        far = np.asarray(sampling.xy_sample_far[0, rv, rov, picks]).reshape(-1, 2)
+        other = jnp.asarray(images[index_other[rv, rov]])
+
+        col = (p[:, :, None] * colors[:, None, :]).reshape(-1, 3)
+        sample_view = draw_lines(
+            other, near * [w, h], far * [w, h], col, 6.0, cap="butt"
+        )
+        p_mag = p / np.maximum(p.max(axis=-1, keepdims=True), 1e-9)
+        col_mag = (p_mag[:, :, None] * colors[:, None, :]).reshape(-1, 3)
+        sample_view_mag = draw_lines(
+            other, near * [w, h], far * [w, h], col_mag, 6.0, cap="butt"
+        )
+
+        return add_border(
+            hcat(
+                add_label(np.asarray(ray_view), "Rays"),
+                add_label(np.asarray(sample_view), "Samples"),
+                add_label(
+                    np.asarray(sample_view_mag), "Samples (Magnified PDF)"
+                ),
+            )
+        )
+
+    def _collect_pdf(self, state) -> Optional[np.ndarray]:
+        """Depth-bucket pdf sown by DepthPredictorMonocular."""
+        inter = state.get("intermediates", {})
+        dp = inter.get("depth_predictor", {})
+        pdf = dp.get("pdf")
+        if pdf is None:
+            return None
+        return np.asarray(pdf[0])
 
     def _visualize_gaussian_stats(self, scales, rotations) -> np.ndarray:
         """Gaussian scale / rotation-angle histograms (matplotlib Agg)."""

@@ -87,6 +87,7 @@ def test_visualizer_emits_reference_figure_set():
         "epipolar_color_samples",
         "overlaps",
         "attention",
+        "probabilities",
         "depth",
         "gaussians",
         "gaussian_stats",
