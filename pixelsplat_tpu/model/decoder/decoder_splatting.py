@@ -9,6 +9,7 @@ one copy.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Literal, NamedTuple, Optional
@@ -21,8 +22,11 @@ from ...ops.rasterizer.render import DepthRenderingMode
 from ..types import Gaussians
 
 # Unroll per-view rendering up to this many views (XLA overlaps the
-# independent pipelines); beyond it, lax.map bounds compile time.
-UNROLL_MAX_VIEWS = 8
+# independent pipelines); beyond it, lax.map bounds compile time. The env
+# override exists for compile-time-sensitive hosts (the multichip dryrun
+# compiles the whole program on one CPU core): lax.map is the same
+# program structure the production path uses past the unroll limit.
+UNROLL_MAX_VIEWS = int(os.environ.get("PIXELSPLAT_UNROLL_MAX_VIEWS", "8"))
 
 
 class DecoderOutput(NamedTuple):
