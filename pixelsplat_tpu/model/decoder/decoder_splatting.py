@@ -17,8 +17,9 @@ from typing import Literal, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ...ops.rasterizer import RenderSettings, render, render_depth
-from ...ops.rasterizer.render import DepthRenderingMode
+from ...ops.rasterizer import RenderSettings, render_depth
+from ...ops.rasterizer.projection import pack_gaussians_soa
+from ...ops.rasterizer.render import DepthRenderingMode, render_view_soa
 from ..types import Gaussians
 
 # Unroll per-view rendering up to this many views (XLA overlaps the
@@ -61,33 +62,36 @@ class DecoderSplatting:
         far: jax.Array,  # (b, v)
         image_shape: tuple[int, int],
         depth_mode: Optional[DepthRenderingMode] = None,
+        render_settings: Optional[RenderSettings] = None,
     ) -> DecoderOutput:
+        # Per-call override of the static rasterizer configuration (the
+        # occupancy-adaptive eval path passes per-scene settings).
+        settings = render_settings if render_settings is not None else self.cfg.render
         # Sequential rendering instead of vmap: batching the
         # sort/gather-heavy rasterizer costs ~1.6x per view on TPU, and
         # the Gaussians stay broadcast (closed over) rather than copied
-        # per view. Small view counts unroll (XLA overlaps the
+        # per view. The scene is packed to SoA ONCE per batch element
+        # (pack_gaussians_soa) so per-view rendering pays no scene-wide
+        # relayout. Small view counts unroll (XLA overlaps the
         # independent per-view pipelines: 160 -> 141 ms for 4 views
         # fwd+bwd); larger ones use lax.map to bound compile time.
         def render_batch_element(element):
             e_v, k_v, n_v, f_v, means, covs, sh, op = element
+            soa = pack_gaussians_soa(means, covs, op, harmonics=sh)
 
             def render_one_view(cam):
                 e, k, n, f = cam
-                img, ovf = render(
-                    e[None],
-                    k[None],
-                    n[None],
-                    f[None],
-                    image_shape,
-                    self.background_color[None],
-                    means[None],
-                    covs[None],
-                    sh[None],
-                    op[None],
-                    settings=self.cfg.render,
+                return render_view_soa(
+                    e,
+                    k,
+                    n,
+                    f,
+                    self.background_color,
+                    soa,
+                    image_shape=image_shape,
+                    settings=settings,
                     return_overflow=True,
                 )
-                return img[0], ovf[0]
 
             v = e_v.shape[0]
             if v <= UNROLL_MAX_VIEWS:
@@ -100,19 +104,23 @@ class DecoderSplatting:
                 return jnp.stack(imgs), jnp.stack(ovfs)
             return jax.lax.map(render_one_view, (e_v, k_v, n_v, f_v))
 
-        color, overflow = jax.lax.map(
-            render_batch_element,
-            (
-                extrinsics,
-                intrinsics,
-                near,
-                far,
-                gaussians.means,
-                gaussians.covariances,
-                gaussians.harmonics,
-                gaussians.opacities,
-            ),
+        batch_args = (
+            extrinsics,
+            intrinsics,
+            near,
+            far,
+            gaussians.means,
+            gaussians.covariances,
+            gaussians.harmonics,
+            gaussians.opacities,
         )
+        # The batch axis stays a lax.map EVEN AT b=1: the loop boundary is
+        # a layout-isolation firewall. Inlining the body (with or without
+        # an optimization_barrier, which is layout-transparent) lets the
+        # rasterizer's transposed-layout preferences back-propagate into
+        # the co-jitted encoder's convolutions, which then lose their
+        # space-to-depth form (measured -12% / -27% scene throughput).
+        color, overflow = jax.lax.map(render_batch_element, batch_args)
 
         depth = None
         if depth_mode is not None:
@@ -131,7 +139,7 @@ class DecoderSplatting:
                         covs[None],
                         op[None],
                         mode=depth_mode,
-                        settings=self.cfg.render,
+                        settings=settings,
                     )[0]
 
                 v = e_v.shape[0]
@@ -145,18 +153,16 @@ class DecoderSplatting:
 
                 return jax.lax.map(depth_one_view, (e_v, k_v, n_v, f_v))
 
-            depth = jax.lax.map(
-                depth_batch_element,
-                (
-                    extrinsics,
-                    intrinsics,
-                    near,
-                    far,
-                    gaussians.means,
-                    gaussians.covariances,
-                    gaussians.opacities,
-                ),
+            depth_args = (
+                extrinsics,
+                intrinsics,
+                near,
+                far,
+                gaussians.means,
+                gaussians.covariances,
+                gaussians.opacities,
             )
+            depth = jax.lax.map(depth_batch_element, depth_args)
 
         return DecoderOutput(
             color=color, depth=depth, overflow=overflow.sum()

@@ -5,14 +5,20 @@ assembly run at the configured per-tile capacity whether tiles are full
 or nearly empty, so render cost is scene-independent (PERF.md). Trained
 scenes concentrate Gaussians on surfaces and rarely approach the
 worst-case capacity; for host-driven loops (test protocol, video
-rendering) `render_adaptive` measures the actual maximum per-tile
-occupancy with a cheap jitted pre-pass and dispatches to a render
-compiled at the smallest sufficient capacity — overflow-free by
-construction.
+rendering) `render_adaptive` measures the actual per-tile occupancy and
+flat-pair demand with a cheap jitted pre-pass and dispatches to a render
+compiled at the smallest sufficient capacity AND pair budget —
+overflow-free by construction (the probe is a bbox-level upper bound on
+what binning, which additionally ellipse-culls, produces). The pair
+budget drives the u16 parameter-row gather and the list-assembly scan,
+both of which are row/slot-count-bound, so a typical trained scene
+(~1.3 pairs/Gaussian) renders meaningfully faster than the worst-case
+2x-Gaussians default.
 
 Not for use inside a single jitted training step (the capacity choice is
 a host-side branch); the training path keeps its fixed worst-case
-setting. Each distinct capacity compiles once and is cached by jit.
+setting. Each distinct (capacity, pair_budget) compiles once and is
+cached by jit.
 """
 
 from __future__ import annotations
@@ -28,8 +34,11 @@ from .projection import project_gaussians
 from .render import DEFAULT_SETTINGS, RenderSettings, render
 
 
-@partial(jax.jit, static_argnames=("image_shape", "tile_size", "span", "big_capacity"))
-def _max_occupancy(
+@partial(
+    jax.jit,
+    static_argnames=("image_shape", "tile_size", "span", "big_capacity", "chunk"),
+)
+def _occupancy_stats(
     extrinsics: jax.Array,  # (b, 4, 4)
     intrinsics: jax.Array,  # (b, 3, 3)
     near: jax.Array,  # (b,)
@@ -40,7 +49,10 @@ def _max_occupancy(
     tile_size: int,
     span: int,
     big_capacity: int,
-) -> jax.Array:
+    chunk: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Max per-tile count and max flat-budget demand over the b views."""
+
     def one(e, k, n, m, c, o):
         scale = 1.0 / n
         proj = project_gaussians(
@@ -58,11 +70,13 @@ def _max_occupancy(
             tile_size=tile_size,
             span=span,
             big_capacity=big_capacity,
+            chunk=chunk,
         )
 
-    return jax.vmap(one)(
+    max_counts, budgets = jax.vmap(one)(
         extrinsics, intrinsics, near, means, covariances, opacities
-    ).max()
+    )
+    return max_counts.max(), budgets.max()
 
 
 def choose_settings(
@@ -75,15 +89,20 @@ def choose_settings(
     image_shape: tuple[int, int],
     settings: RenderSettings = DEFAULT_SETTINGS,
     capacities: tuple[int, ...] = (512, 1024, 2048),
+    margin: float = 1.0,
 ) -> RenderSettings:
-    """Pick the smallest sufficient capacity ONCE per scene.
+    """Pick the smallest sufficient capacity + pair budget ONCE per scene.
 
     The occupancy pre-pass costs one device sync, so call this per scene
     (or per trajectory) and reuse the returned settings for every view —
-    not per frame.
+    not per frame. `margin` scales both stats before choosing, for
+    callers whose render cameras only approximate the probed ones (e.g.
+    a video trajectory probed at its endpoints); renders should surface
+    `overflow` regardless.
     """
-    max_count = int(
-        _max_occupancy(
+    max_count, budget = (
+        jax.device_get(v)
+        for v in _occupancy_stats(
             extrinsics,
             intrinsics,
             near,
@@ -94,12 +113,31 @@ def choose_settings(
             settings.tile_size,
             settings.span,
             settings.big_capacity,
+            settings.chunk,
         )
     )
+    max_count = int(max_count * margin)
+    # One alignment chunk per tile of slack when the margin inflates
+    # per-tile counts across chunk boundaries.
+    h, w = image_shape
+    num_tiles = (-(-w // settings.tile_size)) * (-(-h // settings.tile_size))
+    budget = int(budget * margin) + (num_tiles * settings.chunk if margin > 1 else 0)
+
+    chosen = settings
     for c in sorted(capacities):
         if max_count <= c and c <= settings.capacity:
-            return replace(settings, capacity=c)
-    return settings
+            chosen = replace(settings, capacity=c)
+            break
+    # The measured demand is an upper bound on what binning produces, so
+    # this budget is overflow-free — including dense scenes where it
+    # exceeds binning's 2x-Gaussians default (which would have dropped
+    # pairs). Cap at the static worst case.
+    g = gaussian_means.shape[1]
+    worst = settings.span**2 * g + num_tiles * (
+        settings.big_capacity + settings.chunk
+    )
+    pair_budget = -(-max(min(budget, worst), 65536) // settings.chunk) * settings.chunk
+    return replace(chosen, pair_budget=pair_budget)
 
 
 def render_adaptive(

@@ -376,8 +376,18 @@ def tile_occupancy(
     tile_size: int = 16,
     span: int = 2,
     big_capacity: int = 256,
-) -> jax.Array:
-    """Exact maximum per-tile list length this scene would produce.
+    chunk: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """Conservative per-tile occupancy stats for this scene.
+
+    Returns `(max_count, needed_budget)`: the maximum per-tile list
+    length, and the exact flat-pair-array size (`sum over tiles of
+    ceil(count / chunk) * chunk`) binning at `capacity >= max_count`
+    would require. Both are upper bounds on what `bin_gaussians`
+    produces (it additionally culls with the precise ellipse-vs-tile
+    test; this pre-pass uses the bbox only), so rendering with
+    `capacity >= max_count` and `pair_budget >= needed_budget` is
+    overflow-free by construction.
 
     A cheap pre-pass for occupancy-adaptive rendering (adaptive.py): one
     single-key sort of the tile ids (no ranks, no payload), segment
@@ -415,5 +425,6 @@ def tile_occupancy(
     bounds = jnp.searchsorted(
         sorted_ids, jnp.arange(num_tiles + 1, dtype=jnp.int32)
     )
-    counts = bounds[1:] - bounds[:-1]
-    return counts.max() + jnp.minimum(n_big, big_capacity)
+    counts = bounds[1:] - bounds[:-1] + jnp.minimum(n_big, big_capacity)
+    needed_budget = (-(-counts // chunk) * chunk).sum()
+    return counts.max(), needed_budget

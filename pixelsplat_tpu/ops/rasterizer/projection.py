@@ -24,6 +24,51 @@ from ...geometry.projection import get_fov, inverse_se3
 from ..sh import sh_basis_components
 
 
+class GaussiansSoA(NamedTuple):
+    """Scene Gaussians in structure-of-arrays form (g minor everywhere).
+
+    Packing once per scene — instead of transposing means/covariances/
+    harmonics inside every per-view projection — keeps the per-view render
+    free of large relayout passes (the encoder→decoder boundary copies
+    were ~5.8 ms/scene at production scale before this existed).
+    """
+
+    mean_x: jax.Array  # (g,) world x
+    mean_y: jax.Array  # (g,)
+    mean_z: jax.Array  # (g,)
+    cov: jax.Array  # (6, g) rows s00, s01, s02, s11, s12, s22
+    opacity: jax.Array  # (g,)
+    harmonics: Optional[jax.Array] = None  # (ch, d_sh, g)
+    colors: Optional[jax.Array] = None  # (ch, g)
+
+
+def pack_gaussians_soa(
+    means: jax.Array,  # (g, 3)
+    covariances: jax.Array,  # (g, 3, 3)
+    opacities: jax.Array,  # (g,)
+    harmonics: Optional[jax.Array] = None,  # (g, 3, d_sh)
+    colors_precomp: Optional[jax.Array] = None,  # (g, c)
+) -> GaussiansSoA:
+    """One relayout pass from the public AoS layout to SoA."""
+    if (harmonics is None) == (colors_precomp is None):
+        raise ValueError("Provide exactly one of harmonics / colors_precomp.")
+    means_t = means.T  # (3, g)
+    g = means.shape[0]
+    cov_t = covariances.reshape(g, 9).T  # (9, g) one relayout pass
+    cov6 = jnp.stack(
+        [cov_t[0], cov_t[1], cov_t[2], cov_t[4], cov_t[5], cov_t[8]]
+    )
+    return GaussiansSoA(
+        mean_x=means_t[0],
+        mean_y=means_t[1],
+        mean_z=means_t[2],
+        cov=cov6,
+        opacity=opacities,
+        harmonics=None if harmonics is None else harmonics.transpose(1, 2, 0),
+        colors=None if colors_precomp is None else colors_precomp.T,
+    )
+
+
 class ProjectedGaussians(NamedTuple):
     mean_x: jax.Array  # (g,) pixel x (pixel centers at integers)
     mean_y: jax.Array  # (g,) pixel y
@@ -71,19 +116,32 @@ def project_gaussians(
     Exactly one of `harmonics` / `colors_precomp` must be given (mirrors the
     use_sh switch in the reference wrappers).
     """
+    soa = pack_gaussians_soa(
+        means, covariances, opacities, harmonics, colors_precomp
+    )
+    return project_gaussians_soa(extrinsics, intrinsics, image_shape, soa)
+
+
+def project_gaussians_soa(
+    extrinsics: jax.Array,  # (4, 4) camera-to-world
+    intrinsics: jax.Array,  # (3, 3) normalized
+    image_shape: tuple[int, int],
+    soa: GaussiansSoA,
+) -> ProjectedGaussians:
+    """SoA-input projection: no per-view relayouts of the Gaussian set.
+
+    Multi-view decoders pack the scene once (`pack_gaussians_soa`) and
+    call this per view.
+    """
     h, w = image_shape
-    g = means.shape[0]
-    dtype = means.dtype
+    dtype = soa.mean_x.dtype
 
     w2c = inverse_se3(extrinsics)
     rot = w2c[:3, :3]
     cam_pos = extrinsics[:3, 3]
 
-    # One explicit transpose puts the Gaussian axis minor (lane dim);
-    # slicing columns of the (g, 3) array directly would issue g-strided
-    # reads per column instead of a single relayout pass.
-    means_t = means.T  # (3, g)
-    mx, my, mz = means_t[0], means_t[1], means_t[2]
+    mx, my, mz = soa.mean_x, soa.mean_y, soa.mean_z
+    opacities = soa.opacity
 
     # Camera-space positions (scalar x vector multiply-adds).
     tx = rot[0, 0] * mx + rot[0, 1] * my + rot[0, 2] * mz + w2c[0, 3]
@@ -129,10 +187,9 @@ def project_gaussians(
     v1 = j11 * rot[1, 1] + j12 * rot[2, 1]
     v2 = j11 * rot[1, 2] + j12 * rot[2, 2]
 
-    cov_t = covariances.reshape(g, 9).T  # (9, g) one relayout pass
-    s00, s01, s02 = cov_t[0], cov_t[1], cov_t[2]
-    s11, s12 = cov_t[4], cov_t[5]
-    s22 = cov_t[8]
+    s00, s01, s02 = soa.cov[0], soa.cov[1], soa.cov[2]
+    s11, s12 = soa.cov[3], soa.cov[4]
+    s22 = soa.cov[5]
 
     # Sigma @ u and Sigma @ v, then the quadratic forms.
     su0 = s00 * u0 + s01 * u1 + s02 * u2
@@ -169,32 +226,32 @@ def project_gaussians(
     )
     valid = (depth > NEAR_CLIP) & (det > 0) & on_screen & (opacities > MIN_ALPHA)
 
-    if (harmonics is None) == (colors_precomp is None):
-        raise ValueError("Provide exactly one of harmonics / colors_precomp.")
-    if harmonics is not None:
+    if soa.harmonics is not None:
         dx = mx - cam_pos[0]
         dy = my - cam_pos[1]
         dz = mz - cam_pos[2]
         inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-24)
+        harm = soa.harmonics  # (ch, d_sh, g)
+        channels, d_sh = harm.shape[0], harm.shape[1]
         basis = sh_basis_components(
             dx * inv_n,
             dy * inv_n,
             dz * inv_n,
-            int(np.sqrt(harmonics.shape[-1])) - 1,
+            int(np.sqrt(d_sh)) - 1,
         )
-        channels = harmonics.shape[1]
-        d_sh = harmonics.shape[2]
-        # (ch, d_sh, g) relayout once, then a native axis-1 row-reduction.
-        # Per-channel (1, g) slice-and-sum fusions read 8-sublane tiles at
-        # 1/8 utilization (3x 0.42 ms); the reduce form runs at streaming
-        # bandwidth.
-        harm_t = harmonics.transpose(1, 2, 0)  # (ch, d_sh, g)
+        # (ch, d_sh, g) with a native axis-1 row-reduction. Per-channel
+        # (1, g) slice-and-sum fusions read 8-sublane tiles at 1/8
+        # utilization (3x 0.42 ms), and fully unrolled multiply-adds on
+        # (g,) rows bait XLA into a d_sh-minor relayout of the whole
+        # coefficient set whose layout preference poisons the co-jitted
+        # encoder's convolutions (-27% scene throughput, round 5); the
+        # reduce form runs at streaming bandwidth.
         basis_arr = jnp.stack(basis)  # (d_sh, g)
-        color = (harm_t * basis_arr[None]).sum(axis=1)  # (ch, g)
+        color = (harm * basis_arr[None]).sum(axis=1)  # (ch, g)
         # 3DGS convention: +0.5 offset, clamped at zero (computeColorFromSH).
         color = jnp.maximum(color + 0.5, 0.0)
     else:
-        color = colors_precomp.T  # (c, g)
+        color = soa.colors  # (c, g)
 
     return ProjectedGaussians(
         mean_x=mean_x.astype(dtype),

@@ -24,7 +24,11 @@ import jax.numpy as jnp
 from ...geometry.projection import inverse_se3
 from .binning import bin_gaussians
 from .composite import composite_tiles
-from .projection import project_gaussians
+from .projection import (
+    GaussiansSoA,
+    pack_gaussians_soa,
+    project_gaussians_soa,
+)
 
 DepthRenderingMode = Literal["depth", "disparity", "relative_disparity", "log"]
 
@@ -76,23 +80,62 @@ def _render_single(
     settings: RenderSettings,
     return_overflow: bool = False,
 ) -> jax.Array:
-    if scale_invariant:
-        # Rescale the world by 1/near so the hard 0.2 near clip in the
-        # projector never bites real geometry (cuda_splatting.py:63-70).
-        scale = 1.0 / near
-        extrinsics = extrinsics.at[:3, 3].multiply(scale)
-        covariances = covariances * scale**2
-        means = means * scale
-
-    projected = project_gaussians(
-        extrinsics,
-        intrinsics,
-        image_shape,
+    soa = pack_gaussians_soa(
         means,
         covariances,
         opacities,
         harmonics=sh_or_colors if use_sh else None,
         colors_precomp=None if use_sh else sh_or_colors,
+    )
+    return render_view_soa(
+        extrinsics,
+        intrinsics,
+        near,
+        far,
+        background,
+        soa,
+        image_shape=image_shape,
+        scale_invariant=scale_invariant,
+        settings=settings,
+        return_overflow=return_overflow,
+    )
+
+
+def render_view_soa(
+    extrinsics: jax.Array,  # (4, 4)
+    intrinsics: jax.Array,  # (3, 3) normalized
+    near: jax.Array,  # ()
+    far: jax.Array,  # ()
+    background: jax.Array,  # (c,)
+    soa: GaussiansSoA,
+    *,
+    image_shape: tuple[int, int],
+    scale_invariant: bool = True,
+    settings: RenderSettings = DEFAULT_SETTINGS,
+    return_overflow: bool = False,
+) -> jax.Array:
+    """Render one view of a pre-packed scene (see pack_gaussians_soa).
+
+    Multi-view decoders pack the Gaussian set once and call this per
+    view, so per-view cost excludes the scene-wide relayout passes.
+    """
+    if scale_invariant:
+        # Rescale the world by 1/near so the hard 0.2 near clip in the
+        # projector never bites real geometry (cuda_splatting.py:63-70).
+        scale = 1.0 / near
+        extrinsics = extrinsics.at[:3, 3].multiply(scale)
+        soa = soa._replace(
+            mean_x=soa.mean_x * scale,
+            mean_y=soa.mean_y * scale,
+            mean_z=soa.mean_z * scale,
+            cov=soa.cov * scale**2,
+        )
+
+    projected = project_gaussians_soa(
+        extrinsics,
+        intrinsics,
+        image_shape,
+        soa,
     )
     tiles = bin_gaussians(
         projected,

@@ -40,6 +40,11 @@ class TrainCfg:
 @dataclass(frozen=True)
 class TestCfg:
     output_path: Path = Path("outputs/test")
+    # TPU extra: probe per-scene tile occupancy once and render at the
+    # smallest sufficient capacity/pair-budget (ops/rasterizer/adaptive.py)
+    # instead of the worst-case static setting. Render-exact (the probe is
+    # an upper bound; overflow stays surfaced).
+    adaptive_capacity: bool = True
 
 
 @dataclass(frozen=True)
@@ -287,14 +292,49 @@ class ModelWrapper:
         """Jitted render of already-encoded Gaussians (the reference times
         encoder and decoder separately: model_wrapper.py:163-181)."""
 
-        @partial(jax.jit, static_argnums=(5,))
-        def decode_fn(gaussians, extrinsics, intrinsics, near, far, image_shape):
+        @partial(jax.jit, static_argnums=(5, 6))
+        def decode_fn(
+            gaussians,
+            extrinsics,
+            intrinsics,
+            near,
+            far,
+            image_shape,
+            render_settings=None,
+        ):
             output = self.decoder(
-                gaussians, extrinsics, intrinsics, near, far, image_shape
+                gaussians,
+                extrinsics,
+                intrinsics,
+                near,
+                far,
+                image_shape,
+                render_settings=render_settings,
             )
             return output.color, output.overflow
 
         return decode_fn
+
+    def choose_eval_settings(self, gaussians, extrinsics, intrinsics, near, image_shape):
+        """Occupancy-adaptive render settings for one scene's target views.
+
+        One device sync per scene; the returned (hashable) settings feed
+        `make_eval_decode`'s static `render_settings` argument.
+        """
+        from ..ops.rasterizer.adaptive import choose_settings
+
+        v = extrinsics.shape[1]
+        g = gaussians.means.shape[1]
+        return choose_settings(
+            extrinsics[0],
+            intrinsics[0],
+            near[0],
+            jnp.broadcast_to(gaussians.means[:1], (v, g, 3)),
+            jnp.broadcast_to(gaussians.covariances[:1], (v, g, 3, 3)),
+            jnp.broadcast_to(gaussians.opacities[:1], (v, g)),
+            image_shape,
+            settings=self.decoder.cfg.render,
+        )
 
     def make_eval_encode(self):
         @partial(jax.jit, static_argnums=(2,))

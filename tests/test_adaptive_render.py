@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixelsplat_tpu.ops.rasterizer import RenderSettings, render
-from pixelsplat_tpu.ops.rasterizer.adaptive import _max_occupancy, render_adaptive
+from pixelsplat_tpu.ops.rasterizer.adaptive import _occupancy_stats, render_adaptive
 
 
 def _scene(g=512, seed=0):
@@ -41,11 +41,37 @@ def test_adaptive_matches_fixed_capacity():
 
 def test_occupancy_bounds_capacity():
     extr, intr, near, far, means, covs, sh, opac = _scene()
-    m = int(
-        _max_occupancy(
-            extr, intr, near, means, covs, opac, (64, 64), 16, 2, 32
-        )
+    m, budget = _occupancy_stats(
+        extr, intr, near, means, covs, opac, (64, 64), 16, 2, 32, 64
     )
+    m, budget = int(m), int(budget)
     # 512 sparse Gaussians over 16 tiles: occupancy positive but far below
     # the worst case.
     assert 0 < m <= 512 * 4 + 32
+    # The flat-budget demand covers every pair plus per-tile alignment.
+    assert 0 < budget <= 512 * 4 + 16 * (32 + 64)
+    assert budget % 64 == 0
+
+
+def test_adaptive_budget_matches_default_render():
+    """choose_settings' pair budget must not drop pairs the default keeps."""
+    from pixelsplat_tpu.ops.rasterizer.adaptive import choose_settings
+
+    extr, intr, near, far, means, covs, sh, opac = _scene(seed=3)
+    settings = RenderSettings(capacity=1024, big_capacity=32, chunk=64)
+    chosen = choose_settings(
+        extr, intr, near, means, covs, opac, (64, 64),
+        settings=settings, capacities=(64, 128, 256),
+    )
+    assert chosen.pair_budget is not None
+    bg = jnp.zeros((1, 3))
+    ref = render(
+        extr, intr, near, far, (64, 64), bg, means, covs, sh, opac,
+        settings=settings,
+    )
+    got, overflow = render(
+        extr, intr, near, far, (64, 64), bg, means, covs, sh, opac,
+        settings=chosen, return_overflow=True,
+    )
+    assert int(np.asarray(overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
