@@ -114,11 +114,13 @@ class DataModule:
         data_loader_cfg: DataLoaderCfg,
         step_tracker: Optional[StepTracker] = None,
         global_rank: int = 0,
+        world_size: int = 1,
     ) -> None:
         self.dataset_cfg = dataset_cfg
         self.data_loader_cfg = data_loader_cfg
         self.step_tracker = step_tracker
         self.global_rank = global_rank
+        self.world_size = world_size
 
     def _seed(self, stage_cfg: DataLoaderStageCfg, fallback: int) -> int:
         base = stage_cfg.seed if stage_cfg.seed is not None else fallback
@@ -128,15 +130,21 @@ class DataModule:
         seed = self._seed(stage_cfg, 0)
         cfg = self.dataset_cfg
         step_tracker = self.step_tracker
+        rank, world = self.global_rank, self.world_size
 
         def factory(worker_id: int, num_workers: int):
+            # Workers live in a global (rank x local-worker) id space so
+            # the test stage's chunk partitioning shards scenes across
+            # HOSTS as well as workers — the DDP per-rank-data contract
+            # (reference data_module.py:87 passes global_rank the same
+            # way).
             return get_dataset(
                 cfg,
                 stage,
                 step_tracker,
                 seed=seed,
-                worker_id=worker_id,
-                num_workers=num_workers,
+                worker_id=rank * num_workers + worker_id,
+                num_workers=world * num_workers,
             )
 
         if stage_cfg.num_workers <= 0:

@@ -27,10 +27,14 @@ def cyan(text: str) -> str:
     return f"\033[36m{text}\033[0m"
 
 
-def build_everything(cfg: RootCfg):
+def build_everything(cfg: RootCfg, global_rank: int = 0, world_size: int = 1):
     step_tracker = StepTracker()
     data_module = DataModule(
-        cfg.dataset, cfg.data_loader, step_tracker=step_tracker, global_rank=0
+        cfg.dataset,
+        cfg.data_loader,
+        step_tracker=step_tracker,
+        global_rank=global_rank,
+        world_size=world_size,
     )
     decoder = get_decoder(cfg.model.decoder)
     losses = get_losses(list(cfg.loss))
@@ -58,9 +62,15 @@ def build_everything(cfg: RootCfg):
 
 
 def main(argv: list[str]) -> None:
+    # Multi-host wiring first: after this, jax.devices() is the global
+    # list and the data mesh spans hosts (reference: SLURM DDP launch,
+    # src/main.py:94-106 with rank-dependent seeds at main.py:106).
+    from .parallel.distributed import maybe_initialize
+
+    rank, world = maybe_initialize()
     cfg = load_config(argv)
-    print(cyan(f"mode={cfg.mode} devices={jax.devices()}"))
-    trainer = build_everything(cfg)
+    print(cyan(f"mode={cfg.mode} rank={rank}/{world} devices={jax.devices()}"))
+    trainer = build_everything(cfg, global_rank=rank, world_size=world)
 
     if cfg.mode == "train":
         resume = None

@@ -88,8 +88,13 @@ class Trainer:
             state = load_checkpoint(resume_from, template=state)
             print(f"Resumed from {resume_from} at step {int(state.step)}")
 
+        # Each process's loader yields its own per-rank batch (DDP
+        # contract); the jitted step sees the GLOBAL batch over the
+        # global mesh.
+        nproc = jax.process_count()
+        rank_zero = jax.process_index() == 0
         step_fn, mesh = self.wrapper.make_jit_train_step(
-            batch_size=first_batch["context"]["image"].shape[0],
+            batch_size=first_batch["context"]["image"].shape[0] * nproc,
             accumulate=self.cfg.accumulate_grad_batches,
         )
         key = jax.random.PRNGKey(self.seed + 7)
@@ -107,7 +112,7 @@ class Trainer:
             if self.step_tracker is not None:
                 self.step_tracker.set_step(step)
 
-            if step % self.cfg.log_every_n_steps == 0:
+            if rank_zero and step % self.cfg.log_every_n_steps == 0:
                 host = {k: float(v) for k, v in parts.items()}
                 self.logger.log_metrics(host, step=step)
                 print(
@@ -116,7 +121,8 @@ class Trainer:
                 )
 
             if (
-                self.checkpointing.every_n_train_steps > 0
+                rank_zero
+                and self.checkpointing.every_n_train_steps > 0
                 and step % self.checkpointing.every_n_train_steps == 0
             ):
                 path = save_checkpoint(
@@ -126,7 +132,10 @@ class Trainer:
                 if hasattr(self.logger, "log_model"):
                     self.logger.log_model(path, step=step)
 
-            if self.cfg.val_check_interval > 0 and step % self.cfg.val_check_interval == 0:
+            # Validation renders/logs are rank-zero side effects
+            # (Lightning's rank_zero_only gating); replicas keep training
+            # state identical by construction (same psum'd update).
+            if rank_zero and self.cfg.val_check_interval > 0 and step % self.cfg.val_check_interval == 0:
                 if val_iter is None:
                     val_iter = iter(self.data_module.val_dataloader())
                 try:
@@ -136,7 +145,8 @@ class Trainer:
 
             batch = next(train_iter)
 
-        save_checkpoint(self.output_dir / "checkpoints", step, state)
+        if rank_zero:
+            save_checkpoint(self.output_dir / "checkpoints", step, state)
         return state
 
     # ------------------------------------------------------------------
@@ -360,9 +370,21 @@ class Trainer:
 
             colors = []
             with self.benchmarker.time("decoder", num_calls=v):
+                tgt = arrays["target"]
+                render_settings = None
+                if self.wrapper.test_cfg.adaptive_capacity:
+                    # Probe the scene's tile occupancy once (device sync,
+                    # counted in the decoder timing) and render at the
+                    # smallest sufficient capacity/pair-budget.
+                    render_settings = self.wrapper.choose_eval_settings(
+                        gaussians,
+                        tgt["extrinsics"],
+                        tgt["intrinsics"],
+                        tgt["near"],
+                        (h, w),
+                    )
                 for lo in range(0, v, chunk_size):
                     hi = min(lo + chunk_size, v)
-                    tgt = arrays["target"]
                     color, chunk_overflow = decode_fn(
                         gaussians,
                         tgt["extrinsics"][:, lo:hi],
@@ -370,6 +392,7 @@ class Trainer:
                         tgt["near"][:, lo:hi],
                         tgt["far"][:, lo:hi],
                         (h, w),
+                        render_settings,
                     )
                     self.benchmarker.sync(color)
                     colors.append(np.asarray(color))
