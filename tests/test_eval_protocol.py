@@ -1,0 +1,103 @@
+"""Pin the honest eval protocol: `Trainer.test` must encode with the
+PROBABILISTIC encoder (deterministic=False), exactly like the reference's
+test_step (/root/reference/src/model/model_wrapper.py:163-168 encodes with
+deterministic=False -> gaussians_per_pixel=3). A round-3 regression
+measured the benchmark with deterministic=True (a ~3x lighter render
+workload); this test makes that drift loud.
+
+The trainer wiring is checked with a recording stub wrapper (no compiles,
+fast); the encoder-side contract (deterministic=False -> cfg.gaussians_per_
+pixel gaussians per pixel, production default 3) is asserted from the real
+config + the already-tested encoder shape behavior (test_model.py::
+test_encoder_output_shapes).
+"""
+
+import numpy as np
+
+from pixelsplat_tpu.model.encoder.encoder_epipolar import EncoderEpipolarCfg
+from pixelsplat_tpu.model.types import Gaussians
+from pixelsplat_tpu.training.trainer import Trainer, TrainerCfg
+from pixelsplat_tpu.training.model_wrapper import CheckpointingCfg, TestCfg
+
+
+class _RecordingWrapper:
+    """Duck-typed ModelWrapper exposing exactly what Trainer.test uses."""
+
+    def __init__(self, tmp_path):
+        self.test_cfg = TestCfg(output_path=tmp_path / "out", adaptive_capacity=False)
+        self.encode_calls = []
+        self.decode_gaussian_counts = []
+
+    def make_eval_encode(self):
+        def encode_fn(params, batch, deterministic, step, rng):
+            self.encode_calls.append(bool(deterministic))
+            v, h, w = 2, 8, 8
+            gpp = 1 if deterministic else 3
+            g = v * h * w * gpp
+            return Gaussians(
+                means=np.zeros((1, g, 3), np.float32),
+                covariances=np.tile(np.eye(3, dtype=np.float32) * 1e-4, (1, g, 1, 1)),
+                harmonics=np.zeros((1, g, 3, 25), np.float32),
+                opacities=np.ones((1, g), np.float32),
+            )
+
+        return encode_fn
+
+    def make_eval_decode(self):
+        def decode_fn(gaussians, extr, intr, near, far, shape, settings=None):
+            self.decode_gaussian_counts.append(gaussians.means.shape[1])
+            b, v = extr.shape[:2]
+            h, w = shape
+            return (
+                np.zeros((b, v, 3, h, w), np.float32),
+                np.zeros((), np.int32),
+            )
+
+        return decode_fn
+
+
+class _OneSceneData:
+    def test_dataloader(self):
+        v, h, w = 3, 8, 8
+        eye = np.tile(np.eye(4, dtype=np.float32), (1, v, 1, 1))
+        k = np.tile(
+            np.asarray([[0.5, 0, 0.5], [0, 0.5, 0.5], [0, 0, 1]], np.float32),
+            (1, v, 1, 1),
+        )
+        yield {
+            "scene": ["fixture"],
+            "context": {"image": np.zeros((1, 2, 3, h, w), np.float32)},
+            "target": {
+                "image": np.zeros((1, v, 3, h, w), np.float32),
+                "extrinsics": eye,
+                "intrinsics": k,
+                "near": np.ones((1, v), np.float32),
+                "far": np.full((1, v), 10.0, np.float32),
+                "index": np.arange(v)[None],
+            },
+        }
+
+
+def test_trainer_test_uses_probabilistic_encoder(tmp_path):
+    wrapper = _RecordingWrapper(tmp_path)
+    trainer = Trainer(
+        TrainerCfg(),
+        wrapper,
+        _OneSceneData(),
+        CheckpointingCfg(),
+        tmp_path / "trainer_out",
+    )
+    summary = trainer.test({}, chunk_size=32)
+    assert summary["num_scenes"] == 1
+    # The protocol pin: every encode in the test protocol is
+    # PROBABILISTIC (deterministic=False), like the reference test_step.
+    assert wrapper.encode_calls == [False]
+    # And the decoder received the gpp=3 Gaussian count (v*h*w*3), not
+    # the deterministic gpp=1 count.
+    assert wrapper.decode_gaussian_counts == [2 * 8 * 8 * 3]
+
+
+def test_production_config_gpp_is_3():
+    # The reference's encoder_epipolar.yaml ships gaussians_per_pixel=3;
+    # our default must match so deterministic=False implies gpp=3.
+    assert EncoderEpipolarCfg().gaussians_per_pixel == 3
