@@ -227,12 +227,18 @@ def main() -> None:
             ctx["image"] = jnp.clip(
                 context["image"] + (seed + i).astype(jnp.float32) * 1e-4, 0, 1
             )
+            # SoA bridge: the encoder emits the scene directly in the
+            # rasterizer's structure-of-arrays layout (pack_soa=True), so
+            # the co-jitted program never materializes the AoS Gaussians
+            # or the gpp-fold SH repeat between the stages (the AoS
+            # boundary cost ~7 ms/scene of relayout copies, round 5).
             g = encoder.apply(
                 params,
                 ctx,
                 jnp.asarray(0),
                 False,
                 rngs={"sample": jax.random.fold_in(jax.random.PRNGKey(3), seed + i)},
+                pack_soa=True,
             )
             out = decoder(
                 g, t_extr, t_intr, t_near, t_far, (h, w),
@@ -272,25 +278,28 @@ def main() -> None:
             g = encoder.apply(
                 params, ctx, jnp.asarray(0), False,
                 rngs={"sample": jax.random.fold_in(jax.random.PRNGKey(3), seed + i)},
+                pack_soa=True,
             )
             return (
                 acc
-                + g.means[0, ::4096].sum()
-                + g.opacities[0, ::4096].sum()
-                + g.harmonics[0, ::4096, 0, 0].sum()
-                + g.covariances[0, ::4096, 0, 0].sum()
+                + g.mean_x[0, ::4096].sum()
+                + g.opacity[0, ::4096].sum()
+                + g.harmonics[0, 0, 0, 0, 0, ::4096].sum()
+                + g.cov[0, 0, ::4096].sum()
             )
 
         return jax.lax.fori_loop(0, k_inner, one, jnp.float32(0))
 
-    g_arrays = (g0.means, g0.covariances, g0.harmonics, g0.opacities)
+    g0_soa = jax.jit(
+        lambda p, c: encoder.apply(
+            p, c, jnp.asarray(0), False,
+            rngs={"sample": jax.random.PRNGKey(3)},
+            pack_soa=True,
+        )
+    )(params, context)
 
     @jax.jit
-    def decode_burst(g_arrays, seed):
-        from pixelsplat_tpu.model.types import Gaussians
-
-        g = Gaussians(*g_arrays)
-
+    def decode_burst(g, seed):
         def one(i, acc):
             e = t_extr.at[:, :, 1, 3].add((seed + i).astype(jnp.float32) * 1e-4)
             out = decoder(
@@ -310,9 +319,9 @@ def main() -> None:
         split["encode_ms"] = round(
             (time.perf_counter() - t0 - floor) / n * 1e3, 2
         )
-        np.asarray(decode_burst(g_arrays, jnp.int32(0)))
+        np.asarray(decode_burst(g0_soa, jnp.int32(0)))
         t0 = time.perf_counter()
-        r = [decode_burst(g_arrays, jnp.int32(i + 1)) for i in range(n_dispatch)]
+        r = [decode_burst(g0_soa, jnp.int32(i + 1)) for i in range(n_dispatch)]
         np.asarray(r[-1])
         split["render_ms_per_view"] = round(
             (time.perf_counter() - t0 - floor) / (n * tv) * 1e3, 2

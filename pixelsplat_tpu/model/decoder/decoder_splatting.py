@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.rasterizer import RenderSettings, render_depth
-from ...ops.rasterizer.projection import pack_gaussians_soa
+from ...ops.rasterizer.projection import GaussiansSoA, pack_gaussians_soa
 from ...ops.rasterizer.render import DepthRenderingMode, render_view_soa
 from ..types import Gaussians
 
@@ -55,7 +55,7 @@ class DecoderSplatting:
 
     def __call__(
         self,
-        gaussians: Gaussians,
+        gaussians: "Gaussians | GaussiansSoA",
         extrinsics: jax.Array,  # (b, v, 4, 4)
         intrinsics: jax.Array,  # (b, v, 3, 3)
         near: jax.Array,  # (b, v)
@@ -67,6 +67,42 @@ class DecoderSplatting:
         # Per-call override of the static rasterizer configuration (the
         # occupancy-adaptive eval path passes per-scene settings).
         settings = render_settings if render_settings is not None else self.cfg.render
+        if isinstance(gaussians, GaussiansSoA):
+            # Evaluation fast path: the encoder already packed the scene
+            # to SoA (every plane carries a leading batch axis) — render
+            # without ever materializing the public AoS layout.
+            if depth_mode is not None:
+                raise NotImplementedError(
+                    "depth_mode rendering takes the public AoS Gaussians"
+                )
+
+            def render_soa_batch_element(element):
+                e_v, k_v, n_v, f_v, soa = element
+
+                def render_one_view(cam):
+                    e, k, n, f = cam
+                    return render_view_soa(
+                        e, k, n, f, self.background_color, soa,
+                        image_shape=image_shape, settings=settings,
+                        return_overflow=True,
+                    )
+
+                v = e_v.shape[0]
+                if v <= UNROLL_MAX_VIEWS:
+                    imgs, ovfs = zip(
+                        *[
+                            render_one_view((e_v[i], k_v[i], n_v[i], f_v[i]))
+                            for i in range(v)
+                        ]
+                    )
+                    return jnp.stack(imgs), jnp.stack(ovfs)
+                return jax.lax.map(render_one_view, (e_v, k_v, n_v, f_v))
+
+            color, overflow = jax.lax.map(
+                render_soa_batch_element,
+                (extrinsics, intrinsics, near, far, gaussians),
+            )
+            return DecoderOutput(color=color, depth=None, overflow=overflow.sum())
         # Sequential rendering instead of vmap: batching the
         # sort/gather-heavy rasterizer costs ~1.6x per view on TPU, and
         # the Gaussians stay broadcast (closed over) rather than copied

@@ -187,11 +187,17 @@ def _resize_and_sum(features: list[jax.Array], shape: tuple[int, int]) -> jax.Ar
     every stage's w-resize plus the pyramid sum in a single MXU pass —
     the full-resolution (b, h, w, c) tensor is written once instead of
     once per stage plus a sum (measured 4.3 -> 2.3 ms for the resnet50
-    pyramid at 256^2 x 512 on v5e). Numerically this only reassociates
-    the sum (<=1e-7 relative vs per-stage HIGHEST einsums).
+    pyramid at 256^2 x 512 on v5e).
+
+    Precision is DEFAULT: on TPU the resize contractions lower to
+    one-pass bf16 MXU matmuls with f32 accumulation (measured 7.25 ->
+    4.88 ms for the full pyramid, tools/bench_pyramid.py; rel err
+    4.7e-3 on features that feed ReLU->Dense, matching what DEFAULT
+    already does to every conv in the backbone). On CPU the flag is a
+    no-op (always f32), so golden parity tests are unaffected.
     """
     h_out, w_out = shape
-    prec = jax.lax.Precision.HIGHEST
+    prec = jax.lax.Precision.DEFAULT
     exact = [f for f in features if f.shape[1:3] == (h_out, w_out)]
     rest = [f for f in features if f.shape[1:3] != (h_out, w_out)]
     if not rest:

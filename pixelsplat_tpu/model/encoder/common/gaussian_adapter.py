@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ....geometry.projection import get_world_rays
-from ....ops.sh import rotate_sh
+from ....ops.sh import apply_sh_rotation, full_sh_rotation_matrix
 from .gaussians import build_world_covariance
 
 
@@ -37,7 +37,12 @@ class AdaptedGaussians(NamedTuple):
     covariances: jax.Array  # (..., 3, 3)
     scales: jax.Array  # (..., 3) pre-world-rotation (ply export only)
     rotations: jax.Array  # (..., 4) pre-world-rotation (ply export only)
-    harmonics: jax.Array  # (..., 3, d_sh) world-frame
+    # World-frame SH, BROADCASTABLE against (*opacities.shape, 3, d_sh)
+    # but not materialized to it: coefficients are shared across the
+    # per-pixel depth-sample axis (raw_gaussians' size-1 axes), and the
+    # sample repeat of this largest attribute is left to the consumer —
+    # the AoS packing flattens it; the SoA eval path never repeats it.
+    harmonics: jax.Array
     opacities: jax.Array  # (...)
 
 
@@ -87,11 +92,19 @@ class GaussianAdapter:
         )
 
         sh = sh.reshape(*sh.shape[:-1], 3, self.d_sh)
-        sh = jnp.broadcast_to(sh, (*opacities.shape, 3, self.d_sh)) * self.sh_mask
 
         c2w_rotations = extrinsics[..., :3, :3]
         # Fused (W R) diag(s)^2 (W R)^T without (..., 3, 3) intermediates.
         covariances = build_world_covariance(scales, rotations, c2w_rotations)
+
+        # World-frame SH: rotate the *un-broadcast* per-pixel coefficients
+        # (one rotation per camera) and fold the per-degree init damping
+        # into the tiny rotation matrix — M @ diag(mask) — instead of a
+        # full-tensor multiply; the sample-axis repeat stays lazy until the
+        # caller's final flatten.
+        sh_m = full_sh_rotation_matrix(c2w_rotations, self.cfg.sh_degree)
+        sh_m = sh_m * self.sh_mask  # scales columns j: rotate(mask ⊙ sh)
+        harmonics = apply_sh_rotation(sh, sh_m[..., None, :, :])
 
         origins, directions = get_world_rays(coordinates, extrinsics, intrinsics)
         means = origins + directions * depths[..., None]
@@ -99,7 +112,7 @@ class GaussianAdapter:
         return AdaptedGaussians(
             means=means,
             covariances=covariances,
-            harmonics=rotate_sh(sh, c2w_rotations[..., None, :, :]),
+            harmonics=harmonics,
             opacities=opacities,
             scales=scales,
             rotations=jnp.broadcast_to(rotations, (*scales.shape[:-1], 4)),

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ...geometry.projection import sample_image_grid
+from ...ops.rasterizer.projection import GaussiansSoA
 from ..types import Gaussians
 from .backbone.dino import BackboneDino, BackboneDinoCfg
 from .backbone.resnet import BackboneResnet, BackboneResnetCfg
@@ -79,7 +80,8 @@ class EncoderEpipolar(nn.Module):
         global_step: jax.Array,
         deterministic: bool = False,
         visualization_dump: Optional[dict] = None,
-    ) -> Gaussians:
+        pack_soa: bool = False,
+    ) -> Union[Gaussians, "GaussiansSoA"]:
         from ...utils.shape_checks import check_context
 
         check_context(context)
@@ -183,9 +185,51 @@ class EncoderEpipolar(nn.Module):
             opacity_mul = 1.0
 
         g = v * (h * w) * cfg.num_surfaces * gaussians.means.shape[-2]
+        if pack_soa:
+            # Evaluation fast path: emit the scene directly in the
+            # rasterizer's structure-of-arrays layout. Versus returning
+            # the public AoS `Gaussians` and re-packing in the decoder,
+            # this skips the AoS materialization of every attribute —
+            # most importantly the gpp-fold repeat of the 25-coefficient
+            # SH tensor, which stays sample-shared all the way into the
+            # per-view SH evaluation (projection.py). The SoA g-order is
+            # (v, srf, gpp, r): the sample axis must be second-outermost
+            # so `harmonics` (per-ray, sample-shared) factors as
+            # (V, 1, R) against it. Planes carry a leading batch axis.
+            spp = gaussians.means.shape[-2]
+            srf = cfg.num_surfaces
+
+            def plane(x):  # (b, v, r, srf, spp) -> (b, g)
+                x = jnp.broadcast_to(x, (b, v, h * w, srf, spp))
+                return x.transpose(0, 1, 3, 4, 2).reshape(b, g)
+
+            mean_planes = [plane(gaussians.means[..., i]) for i in range(3)]
+            cov = gaussians.covariances
+            cov6 = jnp.stack(
+                [
+                    plane(cov[..., i, j])
+                    for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+                ],
+                axis=1,
+            )  # (b, 6, g)
+            # harmonics: (b, v, r, srf, 1, 3, d_sh) -> (b, 3, d_sh, V, 1, R)
+            harm = gaussians.harmonics.transpose(0, 5, 6, 1, 3, 4, 2)
+            harm = harm.reshape(b, 3, adapter.d_sh, v * srf, 1, h * w)
+            return GaussiansSoA(
+                mean_x=mean_planes[0],
+                mean_y=mean_planes[1],
+                mean_z=mean_planes[2],
+                cov=cov6,
+                opacity=plane(opacity_mul * gaussians.opacities),
+                harmonics=harm,
+            )
+        harmonics = jnp.broadcast_to(
+            gaussians.harmonics, (b, v, h * w, cfg.num_surfaces,
+                                  gaussians.means.shape[-2], 3, adapter.d_sh)
+        )
         return Gaussians(
             means=gaussians.means.reshape(b, g, 3),
             covariances=gaussians.covariances.reshape(b, g, 3, 3),
-            harmonics=gaussians.harmonics.reshape(b, g, 3, adapter.d_sh),
+            harmonics=harmonics.reshape(b, g, 3, adapter.d_sh),
             opacities=(opacity_mul * gaussians.opacities).reshape(b, g),
         )

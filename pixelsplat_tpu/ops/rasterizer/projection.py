@@ -38,7 +38,13 @@ class GaussiansSoA(NamedTuple):
     mean_z: jax.Array  # (g,)
     cov: jax.Array  # (6, g) rows s00, s01, s02, s11, s12, s22
     opacity: jax.Array  # (g,)
-    harmonics: Optional[jax.Array] = None  # (ch, d_sh, g)
+    # Either dense (ch, d_sh, g), or sample-shared (ch, d_sh, V, 1, R)
+    # with g = V * S * R: the size-1 axis broadcasts over S depth samples
+    # per ray (pixelsplat's gaussians_per_pixel share one SH coefficient
+    # set per pixel), so the S-fold repeat of the largest per-Gaussian
+    # attribute is never materialized — the per-view SH evaluation
+    # broadcasts it instead. Requires the g-order contract (V, S, R).
+    harmonics: Optional[jax.Array] = None
     colors: Optional[jax.Array] = None  # (ch, g)
 
 
@@ -231,8 +237,9 @@ def project_gaussians_soa(
         dy = my - cam_pos[1]
         dz = mz - cam_pos[2]
         inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-24)
-        harm = soa.harmonics  # (ch, d_sh, g)
+        harm = soa.harmonics  # (ch, d_sh, g) or (ch, d_sh, V, 1, R)
         channels, d_sh = harm.shape[0], harm.shape[1]
+        g = mx.shape[0]
         basis = sh_basis_components(
             dx * inv_n,
             dy * inv_n,
@@ -247,7 +254,16 @@ def project_gaussians_soa(
         # encoder's convolutions (-27% scene throughput, round 5); the
         # reduce form runs at streaming bandwidth.
         basis_arr = jnp.stack(basis)  # (d_sh, g)
-        color = (harm * basis_arr[None]).sum(axis=1)  # (ch, g)
+        if harm.ndim == 5:
+            # Sample-shared coefficients: broadcast over the S sample axis
+            # instead of reading an S-fold repeated table.
+            v_sh, _, r_sh = harm.shape[2:]
+            s_sh = g // (v_sh * r_sh)
+            basis_r = basis_arr.reshape(d_sh, v_sh, s_sh, r_sh)
+            color = (harm * basis_r[None]).sum(axis=1)  # (ch, V, S, R)
+            color = color.reshape(channels, g)
+        else:
+            color = (harm * basis_arr[None]).sum(axis=1)  # (ch, g)
         # 3DGS convention: +0.5 offset, clamped at zero (computeColorFromSH).
         color = jnp.maximum(color + 0.5, 0.0)
     else:

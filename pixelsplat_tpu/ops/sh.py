@@ -148,7 +148,12 @@ def sh_rotation_matrix(rotations: jax.Array, degree: int) -> jax.Array:
     dirs, pinv = _fixed_directions_and_pinv(degree)
     dirs = jnp.asarray(dirs, rotations.dtype)  # (N, 3)
     pinv = jnp.asarray(pinv, rotations.dtype)  # (2l+1, N)
-    rotated = jnp.einsum("...ij,nj->...ni", rotations, dirs)  # (..., N, 3)
+    # HIGHEST: on TPU the default bf16 pass puts ~1e-2 relative error into
+    # the rotated directions (and thence the whole rotation matrix); these
+    # contractions are O(N·9) per camera — precision is free here.
+    rotated = jnp.einsum(
+        "...ij,nj->...ni", rotations, dirs, precision=jax.lax.Precision.HIGHEST
+    )  # (..., N, 3)
     basis_rot = sh_basis(rotated, degree)[
         ..., degree**2 : (degree + 1) ** 2
     ]  # (..., N, 2l+1)
@@ -176,6 +181,42 @@ def full_sh_rotation_matrix(rotations: jax.Array, degree: int) -> jax.Array:
     return m
 
 
+def apply_sh_rotation(sh_coefficients: jax.Array, m: jax.Array) -> jax.Array:
+    """out[..., i] = sum_j m[..., i, j] * sh[..., j], broadcasting batch dims.
+
+    Where `m`'s batch has trailing size-1 (broadcast) axes against the
+    coefficient batch — the common case: one rotation per camera applied to
+    every ray/sample/channel — those axes are flattened into the row
+    dimension of a single batched (M, n) @ (n, n)^T MXU matmul. The naive
+    7-d einsum form makes XLA treat the huge broadcast axes as dot batch
+    dims and pick a transposing output layout (measured 3.7 ms of relayout
+    copies on the 236 MB encoder harmonics tensor); this form produces the
+    default row-major layout so the caller's flattening reshape is free.
+    """
+    n = sh_coefficients.shape[-1]
+    rank = max(m.ndim - 2, sh_coefficients.ndim - 1)
+    rb = (1,) * (rank - (m.ndim - 2)) + m.shape[:-2]
+    sb = (1,) * (rank - (sh_coefficients.ndim - 1)) + sh_coefficients.shape[:-1]
+    m = m.reshape(rb + (n, n))
+    sh = sh_coefficients.reshape(sb + (n,))
+    # Trailing group of axes over which the rotation is broadcast.
+    k = rank
+    while k > 0 and rb[k - 1] == 1:
+        k -= 1
+    lead = tuple(max(a, b) for a, b in zip(rb[:k], sb[:k]))
+    tail = sb[k:]
+    m = jnp.broadcast_to(m.reshape(rb[:k] + (n, n)), lead + (n, n))
+    sh = jnp.broadcast_to(sh, lead + tail + (n,))
+    rows = int(np.prod(tail, dtype=np.int64)) if tail else 1
+    out = jnp.einsum(
+        "...mj,...ij->...mi",
+        sh.reshape(lead + (rows, n)),
+        m,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(lead + tail + (n,))
+
+
 def rotate_sh(sh_coefficients: jax.Array, rotations: jax.Array) -> jax.Array:
     """Rotate SH coefficients (..., n) by rotation matrices (..., 3, 3).
 
@@ -187,6 +228,4 @@ def rotate_sh(sh_coefficients: jax.Array, rotations: jax.Array) -> jax.Array:
     n = sh_coefficients.shape[-1]
     degree = int(np.sqrt(n)) - 1
     m = full_sh_rotation_matrix(rotations, degree)
-    return jnp.einsum(
-        "...ij,...j->...i", m, sh_coefficients, precision=jax.lax.Precision.HIGHEST
-    )
+    return apply_sh_rotation(sh_coefficients, m)

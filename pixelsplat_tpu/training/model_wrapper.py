@@ -322,21 +322,48 @@ class ModelWrapper:
         `make_eval_decode`'s static `render_settings` argument.
         """
         from ..ops.rasterizer.adaptive import choose_settings
+        from ..ops.rasterizer.projection import GaussiansSoA
 
         v = extrinsics.shape[1]
-        g = gaussians.means.shape[1]
+        if isinstance(gaussians, GaussiansSoA):
+            # The probe needs AoS geometry; reconstruct it once per scene
+            # from the planes (the timed render path never does).
+            means = jnp.stack(
+                [gaussians.mean_x[0], gaussians.mean_y[0], gaussians.mean_z[0]],
+                axis=-1,
+            )
+            c6 = gaussians.cov[0]
+            covs = jnp.stack(
+                [
+                    jnp.stack([c6[0], c6[1], c6[2]], -1),
+                    jnp.stack([c6[1], c6[3], c6[4]], -1),
+                    jnp.stack([c6[2], c6[4], c6[5]], -1),
+                ],
+                axis=-2,
+            )
+            opacities = gaussians.opacity[0]
+        else:
+            means = gaussians.means[0]
+            covs = gaussians.covariances[0]
+            opacities = gaussians.opacities[0]
+        g = means.shape[0]
         return choose_settings(
             extrinsics[0],
             intrinsics[0],
             near[0],
-            jnp.broadcast_to(gaussians.means[:1], (v, g, 3)),
-            jnp.broadcast_to(gaussians.covariances[:1], (v, g, 3, 3)),
-            jnp.broadcast_to(gaussians.opacities[:1], (v, g)),
+            jnp.broadcast_to(means[None], (v, g, 3)),
+            jnp.broadcast_to(covs[None], (v, g, 3, 3)),
+            jnp.broadcast_to(opacities[None], (v, g)),
             image_shape,
             settings=self.decoder.cfg.render,
         )
 
-    def make_eval_encode(self):
+    def make_eval_encode(self, pack_soa: bool = False):
+        """`pack_soa=True` emits the scene in the rasterizer's SoA layout
+        (encoder fast path) — for callers that only render (Trainer.test);
+        paths that inspect Gaussians (validation 3D projections, ply
+        export) keep the public AoS default."""
+
         @partial(jax.jit, static_argnums=(2,))
         def encode_fn(params, batch, deterministic, step, rng):
             batch = self.data_shim(batch)
@@ -346,6 +373,7 @@ class ModelWrapper:
                 step,
                 deterministic,
                 rngs={"sample": rng},
+                pack_soa=pack_soa,
             )
 
         return encode_fn

@@ -145,7 +145,12 @@ class Trainer:
 
             batch = next(train_iter)
 
-        if rank_zero:
+        if rank_zero and not (
+            self.checkpointing.every_n_train_steps > 0
+            and step % self.checkpointing.every_n_train_steps == 0
+        ):
+            # Skip the final save when the periodic save already wrote this
+            # exact step (orbax refuses to overwrite an existing step dir).
             save_checkpoint(self.output_dir / "checkpoints", step, state)
         return state
 
@@ -334,7 +339,10 @@ class Trainer:
         views (chunked), save PNGs per scene, dump benchmarks with the
         reference's encoder/decoder timing split."""
         params = getattr(state_or_params, "params", state_or_params)
-        encode_fn = self.wrapper.make_eval_encode()
+        # SoA bridge: the test protocol only renders, so the encoder emits
+        # the rasterizer's SoA layout directly (skips the AoS + SH-repeat
+        # materialization between encode and render; see encoder_epipolar).
+        encode_fn = self.wrapper.make_eval_encode(pack_soa=True)
         decode_fn = self.wrapper.make_eval_decode()
         eval_key = jax.random.PRNGKey(self.seed + 31)
         out_dir = Path(self.wrapper.test_cfg.output_path)
@@ -366,7 +374,7 @@ class Trainer:
                 gaussians = encode_fn(
                     params, arrays, False, jnp.asarray(0), scene_key
                 )
-                self.benchmarker.sync(gaussians.means)
+                self.benchmarker.sync(jax.tree.leaves(gaussians)[0])
 
             colors = []
             with self.benchmarker.time("decoder", num_calls=v):

@@ -28,7 +28,9 @@ class _RecordingWrapper:
         self.encode_calls = []
         self.decode_gaussian_counts = []
 
-    def make_eval_encode(self):
+    def make_eval_encode(self, pack_soa=False):
+        # The protocol pin checks Gaussian COUNTS, which the SoA bridge
+        # does not change; the fake always hands back AoS.
         def encode_fn(params, batch, deterministic, step, rng):
             self.encode_calls.append(bool(deterministic))
             v, h, w = 2, 8, 8
